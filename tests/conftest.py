@@ -1,0 +1,20 @@
+"""Test configuration: force an 8-device virtual CPU mesh.
+
+All unit tests run on CPU so they are hermetic and can exercise the
+multi-device sharding paths (`jax.sharding.Mesh` over 8 virtual devices)
+without TPU hardware, mirroring the reference's CPU-runnable small config
+(BASELINE.json config 1).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", False)

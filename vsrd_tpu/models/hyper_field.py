@@ -1,0 +1,143 @@
+"""Hypernetwork-conditioned distance / radiance fields.
+
+TPU-native re-design of
+`/root/reference/vsrd/models/fields/hyper_distance_field.py:7-77` and
+`hyper_radiance_field.py:7-77`: the hypernetwork is a pytree of
+weight-normalized linear layers, and the generated field is evaluated
+*functionally* — per-instance flattened weights are batched along a
+leading instance axis so the inner MLP becomes batched matmuls that map
+onto the MXU, instead of Python-level per-instance closures.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+
+def field_layer_sizes(in_channels: int, out_channels_list: Sequence[int], final_channels: int = 1):
+    """Per-layer (in, out) and flattened parameter counts of the generated
+    MLP (reference hyper_distance_field.py:18-25)."""
+    ins = [in_channels, *out_channels_list]
+    outs = [*out_channels_list, final_channels]
+    num_neurons = [o * (i + 1) for i, o in zip(ins, outs)]
+    return list(zip(ins, outs)), num_neurons
+
+
+def _linear_init(key: jax.Array, in_channels: int, out_channels: int, dtype):
+    """torch nn.Linear default init: U(-1/sqrt(in), 1/sqrt(in)) for both
+    weight and bias (kaiming_uniform with a=sqrt(5))."""
+    bound = 1.0 / math.sqrt(in_channels)
+    k_w, k_b = jax.random.split(key)
+    v = jax.random.uniform(k_w, (out_channels, in_channels), dtype, -bound, bound)
+    b = jax.random.uniform(k_b, (out_channels,), dtype, -bound, bound)
+    return v, b
+
+
+def init_hyper_field(
+    key: jax.Array,
+    in_channels: int = 48,
+    out_channels_list: Sequence[int] = (16, 16, 16, 16),
+    hyper_in_channels: int = 256,
+    hyper_out_channels_list: Sequence[int] = (256, 256, 256, 256),
+    final_channels: int = 1,
+    dtype=jnp.float32,
+):
+    """Initialize the hypernetwork parameters.
+
+    Architecture (reference hyper_distance_field.py:30-47): N hidden
+    blocks of [weight-norm Linear -> LayerNorm -> GELU] followed by one
+    weight-norm Linear emitting the flattened field-MLP weights.
+    """
+    _, num_neurons = field_layer_sizes(in_channels, out_channels_list, final_channels)
+    hyper_ins = [hyper_in_channels, *hyper_out_channels_list]
+    hyper_outs = [*hyper_out_channels_list, sum(num_neurons)]
+
+    layers = []
+    keys = jax.random.split(key, len(hyper_ins))
+    for index, (k, h_in, h_out) in enumerate(zip(keys, hyper_ins, hyper_outs)):
+        v, b = _linear_init(k, h_in, h_out, dtype)
+        layer = {
+            # weight normalization (reference hyper_distance_field.py:53-55):
+            # w = g * v / ||v||_row, g initialized to ||v||_row.
+            "v": v,
+            "g": jnp.linalg.norm(v, axis=-1),
+            "b": b,
+        }
+        if index < len(hyper_ins) - 1:
+            layer["ln_scale"] = jnp.ones((h_out,), dtype)
+            layer["ln_bias"] = jnp.zeros((h_out,), dtype)
+        layers.append(layer)
+    return {"layers": layers}
+
+
+def _weight_norm(v: jax.Array, g: jax.Array, epsilon: float = 0.0) -> jax.Array:
+    norms = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    return v * (g[:, None] / (norms + epsilon))
+
+
+def _layer_norm(x: jax.Array, scale=None, bias=None, epsilon: float = 1e-5) -> jax.Array:
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    y = (x - mean) * jax.lax.rsqrt(var + epsilon)
+    if scale is not None:
+        y = y * scale
+    if bias is not None:
+        y = y + bias
+    return y
+
+
+def hypernetwork_apply(params, embeddings: jax.Array) -> jax.Array:
+    """Embeddings ``[..., E]`` -> flattened field weights ``[..., W]``.
+
+    Mirrors reference hyper_distance_field.py:75-77 forward.
+    """
+    x = embeddings
+    layers = params["layers"]
+    for layer in layers[:-1]:
+        w = _weight_norm(layer["v"], layer["g"])
+        x = x @ w.T + layer["b"]
+        x = _layer_norm(x, layer["ln_scale"], layer["ln_bias"])
+        x = jax.nn.gelu(x, approximate=False)
+    last = layers[-1]
+    w = _weight_norm(last["v"], last["g"])
+    return x @ w.T + last["b"]
+
+
+def field_apply(
+    weights: jax.Array,
+    features: jax.Array,
+    in_channels: int = 48,
+    out_channels_list: Sequence[int] = (16, 16, 16, 16),
+    final_channels: int = 1,
+) -> jax.Array:
+    """Evaluate the generated MLP functionally.
+
+    ``weights [*B, W]`` — flattened per-instance weights; ``features
+    [*B, P, C]`` — one explicit point axis so the per-layer contraction
+    is a *batched matmul* (``[*B, P, in+1] x [*B, out, in+1]^T``) that
+    XLA tiles onto the MXU across all instances at once. Between layers:
+    parameter-free LayerNorm + exact GELU (reference
+    hyper_distance_field.py:57-73). Returns ``[*B, P, final_channels]``.
+    """
+    sizes, num_neurons = field_layer_sizes(in_channels, out_channels_list, final_channels)
+    offsets = [0]
+    for n in num_neurons:
+        offsets.append(offsets[-1] + n)
+
+    x = features
+    for index, ((c_in, c_out), start, stop) in enumerate(
+        zip(sizes, offsets[:-1], offsets[1:])
+    ):
+        if index:
+            x = _layer_norm(x)
+            x = jax.nn.gelu(x, approximate=False)
+        w = weights[..., start:stop].reshape(*weights.shape[:-1], c_out, c_in + 1)
+        x_h = jnp.concatenate(
+            [x, jnp.ones((*x.shape[:-1], 1), x.dtype)], axis=-1
+        )
+        x = jnp.einsum("...mn,...pn->...pm", w, x_h)
+    return x

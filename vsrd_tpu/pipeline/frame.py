@@ -1,0 +1,271 @@
+"""FrameData: the static-shape device representation of one target frame.
+
+This replaces the reference's ragged per-view Python lists
+(`/root/reference/scripts/main.py:204-316`) with padded dense arrays:
+
+* instances are padded to a static ``max_instances`` with a ``valid``
+  mask (masked through unions, matching, losses, metrics);
+* soft masks are stored flattened over ``(view, y, x)`` as the gather
+  source for sampled rays (bf16 to halve HBM), plus a precomputed
+  max-over-instances sampling distribution (the reference recomputes it
+  every step at main.py:620-627 — it is constant);
+* rays are *not* precomputed for the whole image: the per-step renderer
+  derives directions for just the sampled pixels from the cached inverse
+  projections (the reference materializes all H x W rays, main.py:267-278).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import geometry
+from ..rendering import rays as rays_mod
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    meta_fields=("image_size",),
+    data_fields=(
+        "soft_masks_flat",
+        "sampling_weights",
+        "intrinsics",
+        "extrinsics",
+        "inv_projections",
+        "camera_positions",
+        "gt_boxes_2d",
+        "visible",
+        "valid",
+        "gt_boxes_3d",
+        "rectification",
+        "target_index",
+    ),
+)
+@dataclasses.dataclass(frozen=True)
+class FrameData:
+    """One target frame + aligned source views, padded to static shapes.
+
+    V = num views (target at ``target_index``), N = max instances,
+    P = V * H * W flattened pixels. ``image_size`` is static pytree
+    metadata (shapes are compile-time), everything else is device data.
+    """
+
+    soft_masks_flat: jax.Array      # [P, N] bf16 — target-aligned soft masks
+    sampling_weights: jax.Array     # [P] f32 — max-over-instances soft mask
+    intrinsics: jax.Array           # [V, 3, 3]
+    extrinsics: jax.Array           # [V, 4, 4] (world -> camera, rectified)
+    inv_projections: jax.Array      # [V, 3, 3] = R^T K^-1 (pixel -> world dir)
+    camera_positions: jax.Array     # [V, 3]
+    gt_boxes_2d: jax.Array          # [V, N, 2, 2] zeros where invisible
+    visible: jax.Array              # [V, N] bool
+    valid: jax.Array                # [N] bool — real target instances
+    gt_boxes_3d: jax.Array          # [N, 8, 3] target GT (NaN where absent)
+    rectification: jax.Array        # [3, 3]
+    target_index: jax.Array         # [] int32 — position of the target view
+    image_size: tuple[int, int]     # static (H, W)
+
+    def _replace(self, **kwargs):
+        return dataclasses.replace(self, **kwargs)
+
+    @property
+    def num_views(self) -> int:
+        return self.intrinsics.shape[0]
+
+    @property
+    def max_instances(self) -> int:
+        return self.valid.shape[0]
+
+
+def ray_directions_at(frame: FrameData, flat_indices: jax.Array):
+    """(origin, direction) for flattened pixel indices ``[R]``.
+
+    Index layout matches the reference's flatten order (view, y, x).
+    """
+    height, width = frame.image_size
+    pixels_per_view = height * width
+    view = flat_indices // pixels_per_view
+    rem = flat_indices % pixels_per_view
+    py = (rem // width).astype(frame.inv_projections.dtype)
+    px = (rem % width).astype(frame.inv_projections.dtype)
+
+    pix_h = jnp.stack([px, py, jnp.ones_like(px)], axis=-1)  # [R, 3]
+    inv_p = frame.inv_projections[view]                       # [R, 3, 3]
+    directions = jnp.einsum("rij,rj->ri", inv_p, pix_h)
+    directions = directions / jnp.clip(
+        jnp.linalg.norm(directions, axis=-1, keepdims=True), min=1e-12
+    )
+    origins = frame.camera_positions[view]
+    return origins, directions
+
+
+def build_frame_data(
+    images_or_none,
+    soft_masks,      # list over V of np [N_v, H, W] target-aligned (zeros ok)
+    intrinsics,      # np [V, 3, 3]
+    extrinsics,      # np [V, 4, 4] rectified
+    gt_boxes_2d,     # np [V, N, 2, 2]
+    visible,         # np [V, N] bool
+    valid,           # np [N] bool
+    gt_boxes_3d,     # np [N, 8, 3]
+    rectification,   # np [3, 3]
+    target_index: int,
+    max_instances: int | None = None,
+) -> FrameData:
+    """Assemble a FrameData from host-side (numpy) per-view arrays.
+
+    ``soft_masks`` entries must already be aligned to target instance
+    order and zero-filled for invisible instances (the data layer does
+    the instance-id alignment, mirroring main.py:204-265).
+    """
+    soft = np.stack(soft_masks, axis=0)  # [V, N, H, W]
+    v, n, h, w = soft.shape
+    if max_instances is not None and n < max_instances:
+        pad = max_instances - n
+        soft = np.pad(soft, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        gt_boxes_2d = np.pad(gt_boxes_2d, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        visible = np.pad(visible, ((0, 0), (0, pad)))
+        valid = np.pad(valid, (0, pad))
+        gt_boxes_3d = np.pad(
+            gt_boxes_3d, ((0, pad), (0, 0), (0, 0)), constant_values=np.nan
+        )
+        n = max_instances
+
+    flat = soft.transpose(0, 2, 3, 1).reshape(-1, n)  # [(V H W), N]
+    sampling = flat.max(axis=-1).astype(np.float32)
+
+    inv_k = np.linalg.inv(intrinsics)
+    inv_e = np.linalg.inv(extrinsics)
+    inv_p = inv_e[:, :3, :3] @ inv_k
+    cam = inv_e[:, :3, 3]
+
+    return FrameData(
+        soft_masks_flat=jnp.asarray(flat, jnp.bfloat16),
+        sampling_weights=jnp.asarray(sampling),
+        intrinsics=jnp.asarray(intrinsics, jnp.float32),
+        extrinsics=jnp.asarray(extrinsics, jnp.float32),
+        inv_projections=jnp.asarray(inv_p, jnp.float32),
+        camera_positions=jnp.asarray(cam, jnp.float32),
+        gt_boxes_2d=jnp.asarray(gt_boxes_2d, jnp.float32),
+        visible=jnp.asarray(visible, bool),
+        valid=jnp.asarray(valid, bool),
+        gt_boxes_3d=jnp.asarray(gt_boxes_3d, jnp.float32),
+        rectification=jnp.asarray(rectification, jnp.float32),
+        target_index=jnp.asarray(target_index, jnp.int32),
+        image_size=(h, w),
+    )
+
+
+def synthetic_frame(
+    key,
+    num_views: int = 4,
+    image_size: tuple[int, int] = (96, 128),
+    num_instances: int = 3,
+    max_instances: int = 4,
+    seed_boxes: np.ndarray | None = None,
+) -> FrameData:
+    """A synthetic multi-view scene with ground-truth boxes for tests and
+    benchmarks (BASELINE.json config 1 analogue): cars as boxes 4-10 m in
+    front of a camera rig moving along +z, masks rendered analytically by
+    point-in-box tests along rays."""
+    rng = np.random.default_rng(int(jax.random.randint(key, (), 0, 2**31 - 1)))
+    h, w = image_size
+
+    fx = w * 1.2
+    intrinsic = np.array(
+        [[fx, 0, w / 2], [0, fx, h / 2], [0, 0, 1]], np.float32
+    )
+    intrinsics = np.tile(intrinsic, (num_views, 1, 1))
+
+    # camera rig: translating along z (world frame = target camera frame)
+    extrinsics = []
+    offsets = np.linspace(-1.5, 1.5, num_views)
+    target_index = int(np.argmin(np.abs(offsets)))
+    offsets[target_index] = 0.0
+    for off in offsets:
+        e = np.eye(4, dtype=np.float32)
+        e[2, 3] = -off  # camera at z=off looking down +z
+        extrinsics.append(e)
+    extrinsics = np.stack(extrinsics)
+
+    # instances: boxes spread in front of the rig
+    if seed_boxes is None:
+        centers = np.stack(
+            [
+                rng.uniform(-4, 4, num_instances),
+                rng.uniform(0.3, 0.8, num_instances),
+                rng.uniform(8, 16, num_instances),
+            ],
+            axis=-1,
+        ).astype(np.float32)
+    else:
+        centers = seed_boxes[:, :3].astype(np.float32)
+        num_instances = len(centers)
+    half_dims = np.tile(np.array([0.9, 0.8, 2.2], np.float32), (num_instances, 1))
+    yaws = rng.uniform(-0.4, 0.4, num_instances).astype(np.float32)
+
+    corners_unit = np.array(
+        [
+            [-1, -1, +1], [+1, -1, +1], [+1, -1, -1], [-1, -1, -1],
+            [-1, +1, +1], [+1, +1, +1], [+1, +1, -1], [-1, +1, -1],
+        ],
+        np.float32,
+    )
+    gt_boxes_3d = np.full((max_instances, 8, 3), np.nan, np.float32)
+    soft_masks = []
+    gt_boxes_2d = np.zeros((num_views, max_instances, 2, 2), np.float32)
+    visible = np.zeros((num_views, max_instances), bool)
+
+    rots = []
+    for i in range(num_instances):
+        c, s = np.cos(yaws[i]), np.sin(yaws[i])
+        rot = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+        rots.append(rot)
+        gt_boxes_3d[i] = (corners_unit * half_dims[i]) @ rot.T + centers[i]
+
+    # analytic masks: for each pixel ray, does it hit the box?
+    ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    pix = np.stack([xs, ys, np.ones_like(xs)], -1).astype(np.float32)
+
+    for v in range(num_views):
+        inv_k = np.linalg.inv(intrinsics[v])
+        inv_e = np.linalg.inv(extrinsics[v])
+        dirs = pix @ (inv_e[:3, :3] @ inv_k).T
+        dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+        origin = inv_e[:3, 3]
+        masks_v = np.zeros((max_instances, h, w), np.float32)
+        for i in range(num_instances):
+            # slab test in the instance frame
+            o = (origin - centers[i]) @ rots[i]
+            d = dirs @ rots[i]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                t1 = (-half_dims[i] - o) / d
+                t2 = (half_dims[i] - o) / d
+            tmin = np.nanmax(np.minimum(t1, t2), axis=-1)
+            tmax = np.nanmin(np.maximum(t1, t2), axis=-1)
+            hit = (tmax >= tmin) & (tmax > 0)
+            masks_v[i] = hit.astype(np.float32)
+            if hit.any():
+                yy, xx = np.nonzero(hit)
+                gt_boxes_2d[v, i] = [[xx.min(), yy.min()], [xx.max(), yy.max()]]
+                visible[v, i] = hit.sum() >= 8
+        soft_masks.append(np.clip(masks_v, 0.02, 0.98))
+
+    valid = np.zeros(max_instances, bool)
+    valid[:num_instances] = True
+
+    return build_frame_data(
+        None,
+        soft_masks,
+        intrinsics,
+        extrinsics,
+        gt_boxes_2d,
+        visible,
+        valid,
+        gt_boxes_3d,
+        np.eye(3, dtype=np.float32),
+        target_index,
+    )

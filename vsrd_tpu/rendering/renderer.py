@@ -1,0 +1,394 @@
+"""Volumetric (NeuS-style) and surface (sphere-traced) renderers.
+
+TPU-native re-design of `/root/reference/vsrd/rendering/renderers.py`:
+
+* the SDF spatial gradient is computed *in the forward pass* with
+  per-point reverse-mode AD (`vmap(value_and_grad)`), so the optimizer's
+  gradient is plain grad-of-grad that XLA compiles into fused batched
+  matmuls — replacing torch's `autograd.grad(create_graph=True)` dance
+  (reference renderers.py:218-227);
+* sample axes live *last* (``[rays, samples]``), giving lane-aligned
+  cumulative products and reductions;
+* sphere tracing's data-dependent early exit (renderers.py:57) becomes a
+  bounded `lax.while_loop` under `stop_gradient` with convergence masks,
+  plus the implicit-function differentiable correction.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from . import samplers
+
+# A field maps one point [3] -> (signed distance scalar, features [F]).
+PointField = Callable[[jax.Array], tuple[jax.Array, jax.Array]]
+
+
+class RenderOutputs(NamedTuple):
+    features: jax.Array    # [R, F] accumulated per-ray features
+    gradients: jax.Array   # [R, S, 3] SDF gradients at sample points
+    distances: jax.Array   # [R, S+1] sampled distances (bin edges)
+    weights: jax.Array     # [R, S] compositing weights
+
+
+def eval_field_with_grad(field: PointField, positions: jax.Array):
+    """Evaluate (sdf, features, d sdf/d position) at ``positions [..., 3]``.
+
+    Uses per-point reverse-mode AD under vmap: the returned gradient is a
+    differentiable function of the field parameters, so eikonal and
+    normal-dependent losses backprop through it (grad-of-grad).
+    """
+    flat = positions.reshape(-1, 3)
+
+    def point_fn(p):
+        sdf, feats = field(p)
+        return jnp.squeeze(sdf), feats
+
+    (sdf, feats), grads = jax.vmap(
+        jax.value_and_grad(point_fn, has_aux=True)
+    )(flat)
+
+    batch = positions.shape[:-1]
+    return (
+        sdf.reshape(batch),
+        feats.reshape(*batch, -1),
+        grads.reshape(*batch, 3),
+    )
+
+
+def exclusive_cumprod(x: jax.Array, axis: int = -1) -> jax.Array:
+    """cumprod shifted by one with a leading 1 (reference renderers.py:250-256)."""
+    cp = jnp.cumprod(x, axis=axis)
+    ones = jnp.ones_like(jax.lax.slice_in_dim(cp, 0, 1, axis=axis))
+    body = jax.lax.slice_in_dim(cp, 0, cp.shape[axis] - 1, axis=axis)
+    return jnp.concatenate([ones, body], axis=axis)
+
+
+def anneal_cosines(cosines: jax.Array, cosine_ratio) -> jax.Array:
+    """NeuS cos-anneal (reference renderers.py:230-239)."""
+    eased = jax.nn.relu(-cosines * 0.5 + 0.5)
+    hard = jax.nn.relu(-cosines)
+    return -(eased + (hard - eased) * cosine_ratio)
+
+
+def neus_weights(
+    sdf: jax.Array,
+    cosines: jax.Array,
+    intervals: jax.Array,
+    sdf_std_deviation,
+    cosine_ratio,
+    epsilon: float = 1e-6,
+):
+    """Section-point opacities and compositing weights along the sample
+    axis (last). Mirrors reference renderers.py:241-258."""
+    cosines = anneal_cosines(cosines, cosine_ratio)
+    prev_sdf = sdf - cosines * intervals / 2.0
+    next_sdf = sdf + cosines * intervals / 2.0
+    prev_cdf = jax.nn.sigmoid(prev_sdf / sdf_std_deviation)
+    next_cdf = jax.nn.sigmoid(next_sdf / sdf_std_deviation)
+    opacities = jax.nn.relu((prev_cdf - next_cdf) / (prev_cdf + epsilon))
+    transmittances = exclusive_cumprod(1.0 - opacities, axis=-1)
+    return transmittances * opacities
+
+
+def render_rays(
+    field: PointField,
+    ray_positions: jax.Array,
+    ray_directions: jax.Array,
+    distance_range,
+    num_samples: int,
+    sdf_std_deviation,
+    cosine_ratio=1.0,
+    *,
+    key: jax.Array | None = None,
+    sampled_distances: jax.Array | None = None,
+    sampled_weights: jax.Array | None = None,
+    deterministic: bool = False,
+    epsilon: float = 1e-6,
+) -> RenderOutputs:
+    """One volumetric rendering pass over ``[R]`` rays.
+
+    Without ``sampled_distances``: stratified samples in uniform bins over
+    ``distance_range`` (the coarse pass). With them: importance re-sampling
+    against ``sampled_weights`` merged + sorted with the originals (the
+    fine pass). Mirrors reference renderers.py:177-270 with the sample
+    axis last.
+    """
+    if sampled_distances is None:
+        lo, hi = distance_range
+        bins = jnp.linspace(lo, hi, num_samples + 1, dtype=ray_directions.dtype)
+        bins = jnp.broadcast_to(bins, (*ray_directions.shape[:-1], num_samples + 1))
+        distances = samplers.quadrature_sampler(key, bins, deterministic)
+    else:
+        fine = samplers.inverse_transform_sampler(
+            key, sampled_distances, sampled_weights, num_samples, deterministic
+        )
+        distances = jnp.sort(
+            jnp.concatenate([sampled_distances, fine], axis=-1), axis=-1
+        )
+
+    intervals = distances[..., 1:] - distances[..., :-1]
+    midpoints = (distances[..., :-1] + distances[..., 1:]) / 2.0
+
+    positions = (
+        ray_positions[..., None, :]
+        + ray_directions[..., None, :] * midpoints[..., None]
+    )
+
+    sdf, features, gradients = eval_field_with_grad(field, positions)
+
+    norms = jnp.linalg.norm(gradients, axis=-1)
+    normals = gradients / jnp.clip(norms, min=1e-12)[..., None]
+    cosines = jnp.sum(ray_directions[..., None, :] * normals, axis=-1)
+
+    weights = neus_weights(
+        sdf, cosines, intervals, sdf_std_deviation, cosine_ratio, epsilon
+    )
+
+    accumulated = jnp.sum(features * weights[..., None], axis=-2)
+    return RenderOutputs(accumulated, gradients, distances, weights)
+
+
+def hierarchical_render(
+    field: PointField,
+    ray_positions: jax.Array,
+    ray_directions: jax.Array,
+    distance_range,
+    num_samples: int,
+    sdf_std_deviation,
+    cosine_ratio=1.0,
+    *,
+    key: jax.Array | None = None,
+    deterministic: bool = False,
+) -> RenderOutputs:
+    """Coarse (gradient-stopped) + fine importance-sampled pass.
+
+    Mirrors the reference's hierarchical_wrapper (scripts/main.py:511-523):
+    the coarse pass runs under no_grad — here `stop_gradient`, which lets
+    XLA prune its backward entirely.
+    """
+    if key is not None:
+        key_coarse, key_fine = jax.random.split(key)
+    else:
+        key_coarse = key_fine = None
+
+    coarse = render_rays(
+        field,
+        ray_positions,
+        ray_directions,
+        distance_range,
+        num_samples,
+        sdf_std_deviation,
+        cosine_ratio,
+        key=key_coarse,
+        deterministic=deterministic,
+    )
+    coarse_distances = jax.lax.stop_gradient(coarse.distances)
+    coarse_weights = jax.lax.stop_gradient(coarse.weights)
+
+    return render_rays(
+        field,
+        ray_positions,
+        ray_directions,
+        distance_range,
+        num_samples,
+        sdf_std_deviation,
+        cosine_ratio,
+        key=key_fine,
+        sampled_distances=coarse_distances,
+        sampled_weights=coarse_weights,
+        deterministic=deterministic,
+    )
+
+
+def sphere_intersection(ray_positions, ray_directions, bounding_radius):
+    """Analytic ray/sphere intersection (reference renderers.py:10-18)."""
+    a = jnp.sum(ray_directions * ray_directions, axis=-1, keepdims=True)
+    b = jnp.sum(ray_directions * ray_positions, axis=-1, keepdims=True)
+    c = (
+        jnp.sum(ray_positions * ray_positions, axis=-1, keepdims=True)
+        - bounding_radius**2.0
+    )
+    d = b * b - a * c
+    masks = d >= 0.0
+    sqrt_d = jnp.sqrt(jnp.maximum(d, 0.0))
+    return (-b - sqrt_d) / a, (-b + sqrt_d) / a, masks
+
+
+def sphere_tracing(
+    sdf_fn: Callable[[jax.Array], jax.Array],
+    ray_positions: jax.Array,
+    ray_directions: jax.Array,
+    num_iterations: int,
+    convergence_criteria: float,
+    foreground_masks: jax.Array | None = None,
+    bounding_radius: float | None = None,
+    initialization: bool = True,
+    differentiable: bool = False,
+):
+    """Fixed-point SDF ray marching (reference renderers.py:21-73).
+
+    ``sdf_fn`` maps ``[..., 3] -> [..., 1]``. The march runs under
+    stop_gradient in a bounded while_loop (early exit when all rays
+    converge or leave the bounding sphere); the optional differentiable
+    last step applies the implicit-function gradient.
+    Returns ``(positions, convergence_masks)``.
+    """
+    if foreground_masks is None:
+        foreground_masks = jnp.all(
+            jnp.isfinite(ray_positions), axis=-1, keepdims=True
+        )
+
+    if bounding_radius and initialization:
+        min_d, _, hit = sphere_intersection(
+            ray_positions, ray_directions, bounding_radius
+        )
+        ray_positions = jnp.where(
+            hit, ray_positions + ray_directions * min_d, ray_positions
+        )
+        foreground_masks = foreground_masks & hit
+
+    def march(carry):
+        i, positions, fg, conv = carry
+        sd = sdf_fn(positions)
+        positions = jnp.where(fg & ~conv, positions + ray_directions * sd, positions)
+        if bounding_radius:
+            inside = (
+                jnp.linalg.norm(positions, axis=-1, keepdims=True) < bounding_radius
+            )
+            fg = fg & inside
+        conv = jnp.abs(sd) < convergence_criteria
+        return i + 1, positions, fg, conv
+
+    def keep_going(carry):
+        i, _, fg, conv = carry
+        return (i < num_iterations) & jnp.any(fg & ~conv)
+
+    init = (
+        jnp.asarray(0, jnp.int32),
+        jax.lax.stop_gradient(ray_positions),
+        foreground_masks,
+        jnp.zeros_like(foreground_masks),
+    )
+    _, positions, _, convergence_masks = jax.lax.while_loop(
+        keep_going, march, init
+    )
+    positions = jax.lax.stop_gradient(positions)
+    convergence_masks = jax.lax.stop_gradient(convergence_masks)
+
+    if differentiable:
+        # Implicit-function gradient: the converged point moves along the
+        # ray so that sdf stays zero (reference renderers.py:59-71).
+        sd = sdf_fn(positions)
+        grads = surface_gradient(sdf_fn, positions)
+        step = -sd / jnp.sum(grads * ray_directions, axis=-1, keepdims=True)
+        positions = jnp.where(
+            convergence_masks, positions + ray_directions * step, positions
+        )
+
+    return positions, convergence_masks
+
+
+def surface_gradient(
+    sdf_fn: Callable[[jax.Array], jax.Array], positions: jax.Array
+) -> jax.Array:
+    """d sdf / d position at ``positions [..., 3]`` via per-point AD."""
+    flat = positions.reshape(-1, 3)
+    grads = jax.vmap(jax.grad(lambda p: jnp.squeeze(sdf_fn(p[None])[0])))(flat)
+    return grads.reshape(positions.shape)
+
+
+def surface_normal(
+    sdf_fn: Callable[[jax.Array], jax.Array],
+    surface_positions: jax.Array,
+    finite_difference_epsilon: float | None = None,
+) -> jax.Array:
+    """Unit surface normals by AD or central differences
+    (reference renderers.py:76-113)."""
+    if finite_difference_epsilon:
+        eps = finite_difference_epsilon
+        offsets = jnp.eye(3, dtype=surface_positions.dtype) * eps
+        normals = jnp.concatenate(
+            [
+                sdf_fn(surface_positions + offsets[i])
+                - sdf_fn(surface_positions - offsets[i])
+                for i in range(3)
+            ],
+            axis=-1,
+        )
+    else:
+        normals = surface_gradient(sdf_fn, surface_positions)
+    return normals / jnp.clip(
+        jnp.linalg.norm(normals, axis=-1, keepdims=True), min=1e-12
+    )
+
+
+def phong_shading(
+    ray_directions,
+    surface_normals,
+    light_directions,
+    light_ambient_colors,
+    light_diffuse_colors,
+    light_specular_colors,
+    material_ambient_colors,
+    material_diffuse_colors,
+    material_specular_colors,
+    material_emission_colors,
+    material_shininesses,
+):
+    """Phong reflection model (reference renderers.py:116-146)."""
+
+    def normalize(x):
+        return x / jnp.clip(jnp.linalg.norm(x, axis=-1, keepdims=True), min=1e-12)
+
+    ray_directions = normalize(ray_directions)
+    surface_normals = normalize(surface_normals)
+    light_directions = normalize(light_directions)
+
+    reflected = light_directions - 2.0 * surface_normals * jnp.sum(
+        light_directions * surface_normals, axis=-1, keepdims=True
+    )
+    diffuse = jax.nn.relu(
+        -jnp.sum(light_directions * surface_normals, axis=-1, keepdims=True)
+    )
+    specular = (
+        jax.nn.relu(-jnp.sum(reflected * ray_directions, axis=-1, keepdims=True))
+        ** material_shininesses
+    )
+    colors = (
+        material_emission_colors
+        + material_ambient_colors * light_ambient_colors
+        + material_diffuse_colors * light_diffuse_colors * diffuse
+        + material_specular_colors * light_specular_colors * specular
+    )
+    return jnp.clip(colors, 0.0, 1.0)
+
+
+def shadow_rendering(
+    sdf_fn,
+    surface_positions,
+    surface_normals,
+    light_directions,
+    num_iterations,
+    convergence_criteria,
+    foreground_masks,
+    bounding_radius=None,
+    initialization=False,
+):
+    """Hard shadows by marching towards the light
+    (reference renderers.py:149-174)."""
+    ray_positions = surface_positions + surface_normals * convergence_criteria
+    _, convergence_masks = sphere_tracing(
+        sdf_fn=sdf_fn,
+        ray_positions=ray_positions,
+        ray_directions=-light_directions,
+        num_iterations=num_iterations,
+        convergence_criteria=convergence_criteria,
+        foreground_masks=foreground_masks,
+        bounding_radius=bounding_radius,
+        initialization=initialization,
+    )
+    return foreground_masks & convergence_masks
