@@ -8,7 +8,9 @@ without TPU hardware, mirroring the reference's CPU-runnable small config
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force-set (not setdefault): the environment's TPU plugin sitecustomize
+# rewrites JAX_PLATFORMS at interpreter start, before conftest runs.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

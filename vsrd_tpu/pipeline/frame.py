@@ -33,6 +33,8 @@ from ..rendering import rays as rays_mod
     data_fields=(
         "soft_masks_flat",
         "sampling_weights",
+        "candidate_indices",
+        "candidate_weights",
         "intrinsics",
         "extrinsics",
         "inv_projections",
@@ -56,6 +58,8 @@ class FrameData:
 
     soft_masks_flat: jax.Array      # [P, N] bf16 — target-aligned soft masks
     sampling_weights: jax.Array     # [P] f32 — max-over-instances soft mask
+    candidate_indices: jax.Array    # [K] int32 — top-K pixels by weight
+    candidate_weights: jax.Array    # [K] f32 — their sampling weights
     intrinsics: jax.Array           # [V, 3, 3]
     extrinsics: jax.Array           # [V, 4, 4] (world -> camera, rectified)
     inv_projections: jax.Array      # [V, 3, 3] = R^T K^-1 (pixel -> world dir)
@@ -114,6 +118,7 @@ def build_frame_data(
     rectification,   # np [3, 3]
     target_index: int,
     max_instances: int | None = None,
+    num_candidates: int = 1 << 18,
 ) -> FrameData:
     """Assemble a FrameData from host-side (numpy) per-view arrays.
 
@@ -137,6 +142,19 @@ def build_frame_data(
     flat = soft.transpose(0, 2, 3, 1).reshape(-1, n)  # [(V H W), N]
     sampling = flat.max(axis=-1).astype(np.float32)
 
+    # Top-K candidate pixels by sampling weight: the per-step Gumbel
+    # top-k then runs over K instead of V*H*W (~9M) pixels. The soft
+    # masks decay like sigmoid(sdf/10) away from instances, so the mass
+    # outside the top 2^18 pixels is negligible; the weights are frame
+    # constants, so this truncation is computed once (the reference
+    # re-normalizes the full map every step, main.py:620-627).
+    k = min(num_candidates, sampling.size)
+    if k < sampling.size:
+        cand = np.argpartition(sampling, -k)[-k:].astype(np.int32)
+    else:
+        cand = np.arange(sampling.size, dtype=np.int32)
+    cand_weights = sampling[cand]
+
     inv_k = np.linalg.inv(intrinsics)
     inv_e = np.linalg.inv(extrinsics)
     inv_p = inv_e[:, :3, :3] @ inv_k
@@ -145,6 +163,8 @@ def build_frame_data(
     return FrameData(
         soft_masks_flat=jnp.asarray(flat, jnp.bfloat16),
         sampling_weights=jnp.asarray(sampling),
+        candidate_indices=jnp.asarray(cand),
+        candidate_weights=jnp.asarray(cand_weights),
         intrinsics=jnp.asarray(intrinsics, jnp.float32),
         extrinsics=jnp.asarray(extrinsics, jnp.float32),
         inv_projections=jnp.asarray(inv_p, jnp.float32),

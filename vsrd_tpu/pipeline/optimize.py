@@ -69,6 +69,7 @@ class OptimizationConfig:
     # numerics
     checkpoint_interval: int = 500
     remat_fields: bool = False
+    field_dtype: str | None = "bfloat16"  # RDF MLP compute dtype (None = f32)
 
     @property
     def position_scale(self) -> float:
@@ -209,17 +210,25 @@ def compute_loss(
     cosine_ratio = progress
 
     # ---------------- scene field ----------------
-    field_weights = None
+    packed_weights = None
     if use_rdf:
         field_weights = hyper_field.hypernetwork_apply(
             params["hyper"], decoded["embeddings"]
+        )
+        packed_weights = tuple(
+            hyper_field.pack_block_diagonal(
+                field_weights,
+                in_channels=3 * cfg.num_frequencies * 2,
+                out_channels_list=cfg.field_channels,
+            )
         )
     scene_params = scene.SceneParams(
         locations=decoded["locations"],
         rotations=decoded["orientations"],
         half_dimensions=decoded["dimensions"],
         valid=frame.valid,
-        field_weights=field_weights,
+        packed_weights=packed_weights,
+        field_dtype=jnp.dtype(cfg.field_dtype) if cfg.field_dtype else None,
     )
     field = scene.soft_scene_field(
         scene_params,
@@ -231,9 +240,10 @@ def compute_loss(
 
     # ---------------- silhouette rendering ----------------
     key_rays, key_render = jax.random.split(key)
-    ray_idx = sampling.multinomial_no_replacement(
-        key_rays, frame.sampling_weights, cfg.num_rays
+    cand_idx = sampling.multinomial_no_replacement(
+        key_rays, frame.candidate_weights, cfg.num_rays
     )
+    ray_idx = frame.candidate_indices[cand_idx]
     origins, directions = ray_directions_at(frame, ray_idx)
 
     out = renderer.hierarchical_render(

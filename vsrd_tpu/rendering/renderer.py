@@ -2,11 +2,11 @@
 
 TPU-native re-design of `/root/reference/vsrd/rendering/renderers.py`:
 
-* the SDF spatial gradient is computed *in the forward pass* with
-  per-point reverse-mode AD (`vmap(value_and_grad)`), so the optimizer's
-  gradient is plain grad-of-grad that XLA compiles into fused batched
-  matmuls — replacing torch's `autograd.grad(create_graph=True)` dance
-  (reference renderers.py:218-227);
+* the SDF spatial gradient is computed *in the forward pass* by pushing
+  the 3 coordinate tangents through one `jax.linearize` of the batched
+  field (forward-mode), so the optimizer's gradient is a single
+  reverse-over-forward sweep of batched matmuls — replacing torch's
+  `autograd.grad(create_graph=True)` dance (reference renderers.py:218-227);
 * sample axes live *last* (``[rays, samples]``), giving lane-aligned
   cumulative products and reductions;
 * sphere tracing's data-dependent early exit (renderers.py:57) becomes a
@@ -23,8 +23,9 @@ import jax.numpy as jnp
 
 from . import samplers
 
-# A field maps one point [3] -> (signed distance scalar, features [F]).
-PointField = Callable[[jax.Array], tuple[jax.Array, jax.Array]]
+# A field maps positions [..., 3] -> (sdf [...], features [..., F]),
+# batched over leading dims.
+BatchedField = Callable[[jax.Array], tuple[jax.Array, jax.Array]]
 
 
 class RenderOutputs(NamedTuple):
@@ -34,29 +35,31 @@ class RenderOutputs(NamedTuple):
     weights: jax.Array     # [R, S] compositing weights
 
 
-def eval_field_with_grad(field: PointField, positions: jax.Array):
+def eval_field_with_grad(field: BatchedField, positions: jax.Array):
     """Evaluate (sdf, features, d sdf/d position) at ``positions [..., 3]``.
 
-    Uses per-point reverse-mode AD under vmap: the returned gradient is a
-    differentiable function of the field parameters, so eikonal and
-    normal-dependent losses backprop through it (grad-of-grad).
+    The spatial gradient is computed in the *forward pass* by linearizing
+    the batched field once and pushing the 3 coordinate tangents through
+    the linearization — all batched matmul/elementwise work, no per-point
+    reverse AD. The optimizer's gradient then backprops through this
+    (reverse-over-forward, the efficient composition), replacing torch's
+    `autograd.grad(create_graph=True)` (reference renderers.py:218-227).
     """
-    flat = positions.reshape(-1, 3)
 
-    def point_fn(p):
-        sdf, feats = field(p)
-        return jnp.squeeze(sdf), feats
+    def sdf_only(p):
+        return field(p)
 
-    (sdf, feats), grads = jax.vmap(
-        jax.value_and_grad(point_fn, has_aux=True)
-    )(flat)
+    (sdf, feats), f_lin = jax.linearize(sdf_only, positions)
 
-    batch = positions.shape[:-1]
-    return (
-        sdf.reshape(batch),
-        feats.reshape(*batch, -1),
-        grads.reshape(*batch, 3),
+    eye = jnp.eye(3, dtype=positions.dtype)
+    grads = jnp.stack(
+        [
+            f_lin(jnp.broadcast_to(eye[i], positions.shape))[0]
+            for i in range(3)
+        ],
+        axis=-1,
     )
+    return sdf, feats, grads
 
 
 def exclusive_cumprod(x: jax.Array, axis: int = -1) -> jax.Array:
@@ -95,7 +98,7 @@ def neus_weights(
 
 
 def render_rays(
-    field: PointField,
+    field: BatchedField,
     ray_positions: jax.Array,
     ray_directions: jax.Array,
     distance_range,
@@ -153,7 +156,7 @@ def render_rays(
 
 
 def hierarchical_render(
-    field: PointField,
+    field: BatchedField,
     ray_positions: jax.Array,
     ray_directions: jax.Array,
     distance_range,
@@ -295,10 +298,13 @@ def sphere_tracing(
 def surface_gradient(
     sdf_fn: Callable[[jax.Array], jax.Array], positions: jax.Array
 ) -> jax.Array:
-    """d sdf / d position at ``positions [..., 3]`` via per-point AD."""
-    flat = positions.reshape(-1, 3)
-    grads = jax.vmap(jax.grad(lambda p: jnp.squeeze(sdf_fn(p[None])[0])))(flat)
-    return grads.reshape(positions.shape)
+    """d sdf / d position at ``positions [..., 3]`` (batched forward-mode)."""
+    _, f_lin = jax.linearize(lambda p: sdf_fn(p)[..., 0], positions)
+    eye = jnp.eye(3, dtype=positions.dtype)
+    return jnp.stack(
+        [f_lin(jnp.broadcast_to(eye[i], positions.shape)) for i in range(3)],
+        axis=-1,
+    )
 
 
 def surface_normal(

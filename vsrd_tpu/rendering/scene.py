@@ -3,16 +3,18 @@
 This is the TPU-native replacement for the per-instance Python closure
 stacks built in the reference's hot loop (`/root/reference/scripts/
 main.py:433-618`): instead of `N` nested closures combined by a Python
-`soft_union`, one pure function evaluates *all* instances for a point as
-a vectorized `[N]` computation and reduces with a masked softmin. The
+`soft_union`, one pure *batched* function evaluates all instances for a
+whole point cloud at once — the instance axis is the batch axis of the
+field MLP's GEMMs, the union is a masked softmin reduction, and the
 instance one-hot features of the reference's `instance_field` collapse
-to the union weights themselves, so the renderer's accumulated features
-are directly per-ray instance probabilities.
+to the union weights themselves.
+
+Field contract used by the renderer: ``field(positions [..., 3]) ->
+(sdf [...], features [..., F])`` — fully batched over leading dims.
 """
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -29,41 +31,60 @@ class SceneParams(NamedTuple):
     scripts/main.py:580-618) and ``[N, W]`` afterwards.
     """
 
-    locations: jax.Array      # [N, 3]
-    rotations: jax.Array      # [N, 3, 3]
+    locations: jax.Array        # [N, 3]
+    rotations: jax.Array        # [N, 3, 3]
     half_dimensions: jax.Array  # [N, 3]
-    valid: jax.Array          # [N] bool
+    valid: jax.Array            # [N] bool
     field_weights: jax.Array | None = None
+    packed_weights: tuple | None = None  # block-diagonal layer matrices
+    field_dtype: jnp.dtype | None = None  # compute dtype for the RDF MLP
 
 
 def instance_distances(
     scene: SceneParams,
-    position: jax.Array,
+    positions: jax.Array,
     position_scale: float = 100.0,
     num_frequencies: int = 8,
     out_channels_list=(16, 16, 16, 16),
 ) -> jax.Array:
-    """Per-instance signed distances at one point ``[3]`` -> ``[N]``.
+    """Per-instance signed distances: ``positions [..., 3] -> [..., N]``.
 
     Composition per instance (reference scripts/main.py:530-565):
     translate -> rotate -> box SDF (+ sigmoid-squashed residual MLP on the
     x-mirrored, rescaled, sinusoidally-encoded local position).
     """
-    rel = position[None, :] - scene.locations              # [N, 3]
-    local = jnp.einsum("ni,nij->nj", rel, scene.rotations)  # [N, 3]
-    distances = sdf_ops.box_sdf(local, scene.half_dimensions)  # [N]
+    rel = positions[..., None, :] - scene.locations            # [..., N, 3]
+    local = jnp.einsum("...ni,nij->...nj", rel, scene.rotations)
+    distances = sdf_ops.box_sdf(local, scene.half_dimensions)  # [..., N]
 
-    if scene.field_weights is not None:
-        sym = jnp.stack(
-            [jnp.abs(local[..., 0]), local[..., 1], local[..., 2]], axis=-1
+    if scene.field_weights is not None or scene.packed_weights is not None:
+        sym = jnp.concatenate(
+            [jnp.abs(local[..., :1]), local[..., 1:]], axis=-1
         )
         enc = encoders.sinusoidal_encode(sym / position_scale, num_frequencies)
-        raw = hyper_field.field_apply(
-            scene.field_weights,
-            enc[:, None, :],
-            in_channels=enc.shape[-1],
-            out_channels_list=out_channels_list,
-        )[:, 0, 0]
+        if scene.field_dtype is not None:
+            # Reduced-precision RDF path: the residual is sigmoid-squashed
+            # into (0, 1), so bf16 activation error (~1e-3) is far below
+            # the SDF scales that drive the optimization; traffic on the
+            # [P, N, 48] tensors halves.
+            enc = enc.astype(scene.field_dtype)
+        if scene.packed_weights is not None:
+            packed = scene.packed_weights
+            if scene.field_dtype is not None:
+                packed = tuple(m.astype(scene.field_dtype) for m in packed)
+            raw = hyper_field.field_apply_packed(
+                packed,
+                enc,
+                num_instances=distances.shape[-1],
+                out_channels_list=out_channels_list,
+            )[..., 0].astype(distances.dtype)
+        else:
+            raw = hyper_field.field_apply_instances(
+                scene.field_weights,
+                enc,
+                in_channels=enc.shape[-1],
+                out_channels_list=out_channels_list,
+            )[..., 0]
         distances = distances + sdf_ops.residual_squash(raw)
 
     return distances
@@ -76,21 +97,22 @@ def soft_scene_field(
     num_frequencies: int = 8,
     out_channels_list=(16, 16, 16, 16),
 ):
-    """Point field for the volumetric renderer.
+    """Batched field for the volumetric renderer.
 
-    Returns a function ``[3] -> (sdf scalar, instance weights [N])``.
+    Returns ``field(positions [..., 3]) -> (sdf [...], weights [..., N])``.
     The softmin weights double as the instance one-hot features blended
     by the union (reference scripts/main.py:460-492).
     """
 
-    def field(position):
+    def field(positions):
         distances = instance_distances(
-            scene, position, position_scale, num_frequencies, out_channels_list
+            scene, positions, position_scale, num_frequencies, out_channels_list
         )
+        distances = jnp.moveaxis(distances, -1, 0)  # [N, ...]
         union, weights = sdf_ops.masked_softmin_union(
             distances, scene.valid, temperature
         )
-        return union, weights
+        return union, jnp.moveaxis(weights, 0, -1)
 
     return field
 
@@ -103,19 +125,17 @@ def hard_scene_field(
 ):
     """Argmin-union field (surface rendering; reference main.py:691-736)."""
 
-    def field(position):
+    def field(positions):
         distances = instance_distances(
-            scene, position, position_scale, num_frequencies, out_channels_list
+            scene, positions, position_scale, num_frequencies, out_channels_list
         )
+        distances = jnp.moveaxis(distances, -1, 0)
         union, weights = sdf_ops.masked_hard_union(distances, scene.valid)
-        return union, weights
+        return union, jnp.moveaxis(weights, 0, -1)
 
     return field
 
 
 def batched_sdf(field, positions: jax.Array) -> jax.Array:
-    """Evaluate a point field's SDF over ``[..., 3]`` -> ``[..., 1]``
-    (adapter for sphere tracing, which wants batched signatures)."""
-    flat = positions.reshape(-1, 3)
-    sd = jax.vmap(lambda p: field(p)[0])(flat)
-    return sd.reshape(*positions.shape[:-1], 1)
+    """SDF-only adapter for sphere tracing: ``[..., 3] -> [..., 1]``."""
+    return field(positions)[0][..., None]
