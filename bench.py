@@ -51,16 +51,19 @@ def main():
     )
     jax.block_until_ready(frame.soft_masks_flat)
 
-    # warm-up run compiles both phase branches with the same static chunk
-    # shape as the timed run (cached for it)
-    warm_cfg = opt.OptimizationConfig(
-        num_steps=2 * chunk,
-        warmup_steps=min(cfg.warmup_steps, chunk),
-        num_rays=cfg.num_rays,
-        num_samples=cfg.num_samples,
-        checkpoint_interval=chunk,
+    # warm-up: compile the chunk with the *identical* cfg (cfg is part of
+    # the jit static key); one call compiles both phase branches of the
+    # in-scan cond
+    import jax.numpy as jnp
+
+    params = opt.init_params(jax.random.PRNGKey(1), frame.max_instances, cfg)
+    tx = opt.make_optimizer(cfg, params)
+    opt_state = tx.init(params)
+    warm = opt.optimize_chunk(
+        params, opt_state, frame, jax.random.PRNGKey(1), jnp.asarray(0), cfg,
+        min(chunk, args.steps),
     )
-    opt.optimize_frame(frame, jax.random.PRNGKey(1), warm_cfg)
+    jax.block_until_ready(warm[0])
 
     t0 = time.perf_counter()
     params, scalars = opt.optimize_frame(frame, jax.random.PRNGKey(1), cfg)

@@ -1,0 +1,154 @@
+"""Parity tests of the fused field evaluators and Pallas kernels.
+
+Chain of trust: scene.py's batched path is golden-tested against torch
+(test_fields.py); here every kernel-side evaluator is checked against it,
+and the Pallas kernels run in interpreter mode on CPU.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vsrd_tpu.models import hyper_field
+from vsrd_tpu.rendering import fused_field as ff
+from vsrd_tpu.rendering import pallas_field as pf
+from vsrd_tpu.rendering import scene as scene_mod
+
+
+@pytest.fixture(scope="module")
+def setup():
+    n = 4
+    rng = np.random.default_rng(0)
+    pos = jnp.asarray(rng.normal(size=(96, 3)).astype(np.float32) * 5)
+    loc = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32) * 3)
+    angles = rng.uniform(-1, 1, n)
+    rot = jnp.asarray(
+        np.stack(
+            [
+                np.array(
+                    [[np.cos(a), 0, np.sin(a)], [0, 1, 0], [-np.sin(a), 0, np.cos(a)]],
+                    np.float32,
+                )
+                for a in angles
+            ]
+        )
+    )
+    half = jnp.asarray(rng.uniform(0.5, 2.0, size=(n, 3)).astype(np.float32))
+    valid = jnp.asarray([1.0, 1.0, 1.0, 0.0])
+    w = jnp.asarray(rng.normal(size=(n, 1617)).astype(np.float32) * 0.3)
+    return n, pos, loc, rot, half, valid, w
+
+
+def _ground_truth(setup):
+    n, pos, loc, rot, half, valid, w = setup
+    packed = tuple(hyper_field.pack_block_diagonal(w))
+    sp = scene_mod.SceneParams(
+        loc, rot, half, valid.astype(bool), packed_weights=packed
+    )
+    return scene_mod.soft_scene_field(sp, 0.5)(pos)
+
+
+def test_scene_eval_matches_ground_truth(setup):
+    n, pos, loc, rot, half, valid, w = setup
+    u_gt, w_gt = _ground_truth(setup)
+    layers = ff.split_field_layers(w)
+    statics = ff.FieldStatics(num_instances=n, field_dtype=None)
+    u, wts = ff.scene_eval(pos, loc, rot, half, valid, layers, 0.5, statics)
+    np.testing.assert_allclose(np.asarray(u), np.asarray(u_gt), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(wts), np.asarray(w_gt), atol=1e-5)
+
+
+def test_manual_grad_matches_linearize(setup):
+    n, pos, loc, rot, half, valid, w = setup
+    layers = ff.split_field_layers(w)
+    statics = ff.FieldStatics(num_instances=n, field_dtype=None)
+    u0, w0, g0 = ff.scene_eval_with_grad(
+        pos, loc, rot, half, valid, layers, 0.5, statics
+    )
+    u1, w1, g1 = ff.scene_eval_manual_grad(
+        pos, loc, rot, half, valid, layers, 0.5, statics
+    )
+    np.testing.assert_allclose(np.asarray(u0), np.asarray(u1), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g0), np.asarray(g1), atol=1e-4)
+
+
+def test_stacked_matches_ground_truth(setup):
+    n, pos, loc, rot, half, valid, w = setup
+    u_gt, w_gt = _ground_truth(setup)
+    mats = ff.build_interleaved_layers(w)
+    statics = ff.FieldStatics(num_instances=n, field_dtype=None)
+    u, wts, g = ff.scene_eval_stacked(
+        pos, loc, rot, half, valid, mats, 0.5, statics
+    )
+    np.testing.assert_allclose(np.asarray(u), np.asarray(u_gt), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(wts), np.asarray(w_gt), atol=1e-5)
+    # gradients vs linearize reference
+    layers = ff.split_field_layers(w)
+    _, _, g_ref = ff.scene_eval_with_grad(
+        pos, loc, rot, half, valid, layers, 0.5, statics
+    )
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=1e-4)
+
+
+def test_stacked_box_only(setup):
+    n, pos, loc, rot, half, valid, w = setup
+    statics = ff.FieldStatics(num_instances=n, use_rdf=False, field_dtype=None)
+    u0, w0, g0 = ff.scene_eval_manual_grad(
+        pos, loc, rot, half, valid, (), 0.5, statics
+    )
+    u1, w1, g1 = ff.scene_eval_stacked(pos, loc, rot, half, valid, (), 0.5, statics)
+    np.testing.assert_allclose(np.asarray(u0), np.asarray(u1), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g0), np.asarray(g1), atol=1e-5)
+
+
+def test_pallas_kernel_interpret_forward(setup):
+    n, pos, loc, rot, half, valid, w = setup
+    mats = ff.build_interleaved_layers(w)
+    statics = ff.FieldStatics(num_instances=n, field_dtype=None)
+    u_ref, w_ref, g_ref = ff.scene_eval_stacked(
+        pos, loc, rot, half, valid, mats, 0.5, statics
+    )
+    old = pf.INTERPRET
+    pf.INTERPRET = True
+    try:
+        u, wts, g = pf.fused_field_with_grad(
+            statics, 32, pos, loc, rot, half, valid, mats, 0.5
+        )
+    finally:
+        pf.INTERPRET = old
+    np.testing.assert_allclose(np.asarray(u), np.asarray(u_ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(wts), np.asarray(w_ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=1e-4)
+
+
+def test_pallas_kernel_interpret_backward(setup):
+    n, pos, loc, rot, half, valid, w = setup
+    mats = ff.build_interleaved_layers(w)
+    statics = ff.FieldStatics(num_instances=n, field_dtype=None)
+
+    def loss_kernel(loc, half, mats):
+        u, wts, g = pf.fused_field_with_grad(
+            statics, 32, pos, loc, rot, half, valid, mats, 0.5
+        )
+        return jnp.sum(u) + jnp.sum(wts[:, :2]) + jnp.sum(jnp.square(g))
+
+    def loss_ref(loc, half, mats_flat):
+        layers = ff.split_field_layers(w)
+        u, wts, g = ff.scene_eval_stacked(
+            pos, loc, rot, half, valid, mats_flat, 0.5, statics
+        )
+        return jnp.sum(u) + jnp.sum(wts[:, :2]) + jnp.sum(jnp.square(g))
+
+    old = pf.INTERPRET
+    pf.INTERPRET = True
+    try:
+        gk = jax.grad(loss_kernel, argnums=(0, 1, 2))(loc, half, mats)
+    finally:
+        pf.INTERPRET = old
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(loc, half, mats)
+
+    np.testing.assert_allclose(np.asarray(gk[0]), np.asarray(gr[0]), rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(gk[1]), np.asarray(gr[1]), rtol=1e-3, atol=1e-3)
+    for a, b in zip(gk[2], gr[2]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-3)

@@ -148,6 +148,7 @@ def pack_block_diagonal(
     in_channels: int = 48,
     out_channels_list: Sequence[int] = (16, 16, 16, 16),
     final_channels: int = 1,
+    input_permutation=None,
 ):
     """Pack per-instance MLP weights into block-diagonal layer matrices.
 
@@ -170,8 +171,15 @@ def pack_block_diagonal(
 
     packed = []
     idx = jnp.arange(n)
-    for (c_in, c_out), start, stop in zip(sizes, offsets[:-1], offsets[1:]):
+    for layer, ((c_in, c_out), start, stop) in enumerate(
+        zip(sizes, offsets[:-1], offsets[1:])
+    ):
         w = weights[:, start:stop].reshape(n, c_out, c_in + 1)  # [N, out, in+1]
+        if layer == 0 and input_permutation is not None:
+            # reorder input channels (bias row stays last); used to match
+            # the fused kernel's encoding channel order
+            perm = jnp.asarray([*input_permutation, c_in], jnp.int32)
+            w = w[:, :, perm]
         block = jnp.zeros((n, c_in + 1, n, c_out), weights.dtype)
         block = block.at[idx, :, idx, :].set(jnp.swapaxes(w, -2, -1))
         packed.append(block.reshape(n * (c_in + 1), n * c_out))

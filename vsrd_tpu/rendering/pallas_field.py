@@ -1,0 +1,268 @@
+"""Fused Pallas TPU kernel for the scene field + spatial gradient.
+
+This is the framework's flagship kernel: it evaluates, for a tile of
+sample points held entirely in VMEM, the whole per-point pipeline —
+
+    instance-frame transform -> box SDF -> sinusoidal encoding ->
+    per-instance hyper-MLP residual -> masked softmin union ->
+    hand-rolled forward-mode spatial gradient (3 tangents)
+
+— writing only the results (sdf, d sdf/d x, union weights) back to HBM.
+The pure-XLA path materializes ~2-3 GB/step of [P, N, 48]-sized
+intermediates in HBM; the kernel's HBM traffic is the ~12 MB of inputs
+and outputs, turning the renderer from bandwidth-bound to compute-bound.
+
+Everything runs in transposed (channels x points) layout so channel
+buffers pad to sublane multiples of 8 instead of lane multiples of 128
+(~10x VMEM saving; see fused_field._instance_distance_with_tangents_t).
+
+The backward pass is a second kernel that *recomputes* the tile in VMEM
+(flash-attention style) and applies `jax.vjp` to the tile-local function
+— tracing happens at kernel-build time, so reverse-mode runs inside the
+kernel with no HBM residuals. Parameter cotangents accumulate across
+sequential grid steps into revisited output blocks.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .fused_field import FieldStatics, scene_eval_stacked_t
+
+
+# Set True (e.g. in CPU tests) to run kernels in the Pallas interpreter.
+INTERPRET = False
+
+
+def pallas_supported() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def _pad_to(x, multiple, axis):
+    size = x.shape[axis]
+    padded = (size + multiple - 1) // multiple * multiple
+    if padded == size:
+        return x, size
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (0, padded - size)
+    return jnp.pad(x, pad), size
+
+
+def _fwd_kernel(statics, pos_ref, loc_ref, rot_ref, half_ref, valid_ref,
+                temp_ref, *rest):
+    n_layers = len(rest) - 3
+    layer_refs = rest[:n_layers]
+    u_ref, g_ref, w_ref = rest[n_layers:]
+
+    layers = tuple(r[:] for r in layer_refs)
+    union, weights, grads = scene_eval_stacked_t(
+        pos_ref[:],
+        loc_ref[:],
+        rot_ref[:],
+        half_ref[:],
+        valid_ref[:],
+        layers,
+        temp_ref[0],
+        statics,
+    )
+    u_ref[:] = union
+    g_ref[:] = grads
+    w_ref[:] = weights
+
+
+def _bwd_kernel(statics, n_layers, pos_ref, loc_ref, rot_ref, half_ref,
+                valid_ref, temp_ref, *rest):
+    # rest layout: [*layers] [du dg dw] [dloc drot dhalf *dlayers]
+    layer_refs = rest[:n_layers]
+    du_ref, dg_ref, dw_ref = rest[n_layers : n_layers + 3]
+    dloc_ref, drot_ref, dhalf_ref = rest[n_layers + 3 : n_layers + 6]
+    dlayer_refs = rest[n_layers + 6 :]
+
+    pos_t = pos_ref[:]
+    temperature = temp_ref[0]
+    valid = valid_ref[:]
+    layers = tuple(r[:] for r in layer_refs)
+
+    def f(loc, rot, half, layers):
+        return scene_eval_stacked_t(
+            pos_t, loc, rot, half, valid, layers, temperature, statics
+        )
+
+    _, vjp_fn = jax.vjp(f, loc_ref[:], rot_ref[:], half_ref[:], layers)
+    dloc, drot, dhalf, dlayers = vjp_fn(
+        (du_ref[:], dw_ref[:], dg_ref[:])
+    )
+
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _():
+        dloc_ref[:] = jnp.zeros_like(dloc_ref)
+        drot_ref[:] = jnp.zeros_like(drot_ref)
+        dhalf_ref[:] = jnp.zeros_like(dhalf_ref)
+        for ref in dlayer_refs:
+            ref[:] = jnp.zeros_like(ref)
+
+    dloc_ref[:] += dloc
+    drot_ref[:] += drot
+    dhalf_ref[:] += dhalf
+    for ref, grad in zip(dlayer_refs, dlayers):
+        ref[:] += grad.astype(ref.dtype)
+
+
+def _tile_spec(rows, tile):
+    return pl.BlockSpec((rows, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
+
+
+def _const_spec(shape):
+    return pl.BlockSpec(
+        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def fused_field_with_grad(statics: FieldStatics, tile: int, positions,
+                          locations, rotations, half_dims, valid, layers,
+                          temperature):
+    """(sdf [P], weights [P, N], grads [P, 3]) on TPU via Pallas.
+
+    ``positions [P, 3]``; differentiable w.r.t. locations / rotations /
+    half_dims / layer weights (positions and temperature are constants on
+    this path, matching the optimization's stop-gradient ray sampling).
+    """
+    return _fused_forward(
+        statics, tile, positions, locations, rotations, half_dims, valid,
+        layers, temperature,
+    )
+
+
+def _fused_forward(statics, tile, positions, locations, rotations, half_dims,
+                   valid, layers, temperature):
+    n = statics.num_instances
+    pos_t, p_real = _pad_to(positions.T, tile, axis=1)           # [3, P]
+    p = pos_t.shape[1]
+    grid = (p // tile,)
+
+    temperature = jnp.asarray(temperature, jnp.float32).reshape(1)
+
+    out_shape = (
+        jax.ShapeDtypeStruct((1, p), jnp.float32),
+        jax.ShapeDtypeStruct((3, p), jnp.float32),
+        jax.ShapeDtypeStruct((n, p), jnp.float32),
+    )
+    out_specs = (
+        _tile_spec(1, tile),
+        _tile_spec(3, tile),
+        _tile_spec(n, tile),
+    )
+
+    in_specs = [
+        _tile_spec(3, tile),                    # positions (transposed)
+        _const_spec(locations.shape),
+        _const_spec(rotations.shape),
+        _const_spec(half_dims.shape),
+        _const_spec(valid.shape),
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # temperature
+        *[_const_spec(m.shape) for m in layers],
+    ]
+
+    u, g, w = pl.pallas_call(
+        functools.partial(_fwd_kernel, statics),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=INTERPRET,
+    )(pos_t, locations, rotations, half_dims, valid, temperature, *layers)
+
+    return u[0, :p_real], w[:, :p_real].T, g[:, :p_real].T
+
+
+def _fused_fwd_rule(statics, tile, positions, locations, rotations, half_dims,
+                    valid, layers, temperature):
+    out = _fused_forward(
+        statics, tile, positions, locations, rotations, half_dims, valid,
+        layers, temperature,
+    )
+    residuals = (positions, locations, rotations, half_dims, valid, layers,
+                 temperature)
+    return out, residuals
+
+
+def _fused_bwd_rule(statics, tile, residuals, cotangents):
+    (positions, locations, rotations, half_dims, valid, layers,
+     temperature) = residuals
+    du, dw, dg = cotangents
+
+    # The recompute-vjp inside the kernel holds the tile's reverse-mode
+    # residuals in VMEM, so the backward tile must be smaller.
+    tile = min(tile, 256)
+    n = statics.num_instances
+    pos_t, p_real = _pad_to(positions.T, tile, axis=1)
+    p = pos_t.shape[1]
+    du_t, _ = _pad_to(du[None, :], tile, axis=1)                 # [1, P]
+    dg_t, _ = _pad_to(dg.T, tile, axis=1)                        # [3, P]
+    dw_t, _ = _pad_to(dw.T, tile, axis=1)                        # [N, P]
+    grid = (p // tile,)
+
+    temperature_arr = jnp.asarray(temperature, jnp.float32).reshape(1)
+
+    out_shape = (
+        jax.ShapeDtypeStruct(locations.shape, jnp.float32),
+        jax.ShapeDtypeStruct(rotations.shape, jnp.float32),
+        jax.ShapeDtypeStruct(half_dims.shape, jnp.float32),
+        *[jax.ShapeDtypeStruct(m.shape, jnp.float32) for m in layers],
+    )
+    out_specs = (
+        _const_spec(locations.shape),
+        _const_spec(rotations.shape),
+        _const_spec(half_dims.shape),
+        *[_const_spec(m.shape) for m in layers],
+    )
+    in_specs = [
+        _tile_spec(3, tile),                     # positions (transposed)
+        _const_spec(locations.shape),
+        _const_spec(rotations.shape),
+        _const_spec(half_dims.shape),
+        _const_spec(valid.shape),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        *[_const_spec(m.shape) for m in layers],
+        _tile_spec(1, tile),                     # du
+        _tile_spec(3, tile),                     # dg
+        _tile_spec(n, tile),                     # dw
+    ]
+
+    outs = pl.pallas_call(
+        functools.partial(_bwd_kernel, statics, len(layers)),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            # the recompute-vjp residuals legitimately need more than the
+            # conservative 16 MB default scoped budget
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=INTERPRET,
+    )(pos_t, locations, rotations, half_dims, valid, temperature_arr,
+      *layers, du_t, dg_t, dw_t)
+
+    dloc, drot, dhalf, *dlayers = outs
+    dlayers = tuple(g.astype(m.dtype) for g, m in zip(dlayers, layers))
+    return (
+        jnp.zeros_like(positions),               # positions: not differentiated
+        dloc.astype(locations.dtype),
+        drot.astype(rotations.dtype),
+        dhalf.astype(half_dims.dtype),
+        jnp.zeros_like(valid),
+        dlayers,
+        jnp.zeros_like(jnp.asarray(temperature)),
+    )
+
+
+fused_field_with_grad.defvjp(_fused_fwd_rule, _fused_bwd_rule)

@@ -111,6 +111,7 @@ def render_rays(
     sampled_weights: jax.Array | None = None,
     deterministic: bool = False,
     epsilon: float = 1e-6,
+    field_with_grad=None,
 ) -> RenderOutputs:
     """One volumetric rendering pass over ``[R]`` rays.
 
@@ -141,7 +142,12 @@ def render_rays(
         + ray_directions[..., None, :] * midpoints[..., None]
     )
 
-    sdf, features, gradients = eval_field_with_grad(field, positions)
+    if field_with_grad is not None:
+        # fused evaluation (e.g. the Pallas kernel): value + spatial
+        # gradient in one pass
+        sdf, features, gradients = field_with_grad(positions)
+    else:
+        sdf, features, gradients = eval_field_with_grad(field, positions)
 
     norms = jnp.linalg.norm(gradients, axis=-1)
     normals = gradients / jnp.clip(norms, min=1e-12)[..., None]
@@ -166,6 +172,7 @@ def hierarchical_render(
     *,
     key: jax.Array | None = None,
     deterministic: bool = False,
+    field_with_grad=None,
 ) -> RenderOutputs:
     """Coarse (gradient-stopped) + fine importance-sampled pass.
 
@@ -188,6 +195,7 @@ def hierarchical_render(
         cosine_ratio,
         key=key_coarse,
         deterministic=deterministic,
+        field_with_grad=field_with_grad,
     )
     coarse_distances = jax.lax.stop_gradient(coarse.distances)
     coarse_weights = jax.lax.stop_gradient(coarse.weights)
@@ -204,6 +212,7 @@ def hierarchical_render(
         sampled_distances=coarse_distances,
         sampled_weights=coarse_weights,
         deterministic=deterministic,
+        field_with_grad=field_with_grad,
     )
 
 
