@@ -1,0 +1,197 @@
+"""vsrd_tpu auto-labeling driver.
+
+TPU-native re-design of `/root/reference/scripts/main.py`: per target
+frame, a fully-jitted 3000-step Adam optimization of 3D boxes + residual
+distance fields against multi-view silhouettes. Frames are sharded
+across processes (embarrassingly parallel — no gradient communication,
+reference README.md:128); each process drives its chunk through the
+chunked `optimize_frame` loop with preemption-safe `.npz` checkpoints
+and frame-granular skip-if-done.
+
+Usage:
+    python scripts/main.py --config configs/kitti_360/vsrd/<drive>/config.json --train
+"""
+
+import argparse
+import dataclasses
+import json
+import logging
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from vsrd_tpu import parallel  # noqa: E402
+from vsrd_tpu.configuration.configurator import Configurator  # noqa: E402
+from vsrd_tpu.configuration.registry import instantiate  # noqa: E402
+from vsrd_tpu.data.kitti360 import KITTI360Dataset, align_to_target  # noqa: E402
+from vsrd_tpu.pipeline import frame as frame_mod  # noqa: E402
+from vsrd_tpu.pipeline import optimize as opt  # noqa: E402
+from vsrd_tpu.utils.meters import ProgressMeter, StopWatch  # noqa: E402
+from vsrd_tpu.utils.saver import Saver, has_final_checkpoint  # noqa: E402
+
+try:
+    from tensorboardX import SummaryWriter
+except ImportError:  # pragma: no cover
+    SummaryWriter = None
+
+
+def round_up_instances(n, buckets=(4, 8, 16, 24, 32)):
+    """Pad instance counts to a small set of buckets so jit caches a few
+    compiled programs instead of one per count."""
+    for bucket in buckets:
+        if n <= bucket:
+            return bucket
+    return buckets[-1]
+
+
+def build_config(args) -> opt.OptimizationConfig:
+    config = Configurator.load(args.config)
+    optimization = config.get("optimization", {})
+    volume = config.get("volume_rendering", {})
+    weights = config.get("loss_weights", {})
+    return opt.OptimizationConfig(
+        num_steps=optimization.get("num_steps", 3000),
+        warmup_steps=optimization.get("warmup_steps", 1000),
+        num_rays=volume.get("num_rays", 1000),
+        num_samples=volume.get("num_fine_samples", 100),
+        distance_range=tuple(volume.get("distance_range", (0.0, 100.0))),
+        max_sdf_union_temperature=volume.get("max_sdf_union_temperature", 1.0),
+        min_sdf_union_temperature=volume.get("min_sdf_union_temperature", 0.1),
+        max_sdf_std_deviation=volume.get("max_sdf_std_deviation", 1.0),
+        min_sdf_std_deviation=volume.get("min_sdf_std_deviation", 0.1),
+        iou_projection_weight=weights.get("iou_projection_loss", 0.1),
+        l1_projection_weight=weights.get("l1_projection_loss", 1.0),
+        silhouette_weight=weights.get("silhouette_loss", 1.0),
+        eikonal_weight=weights.get("eikonal_loss", 0.01),
+        checkpoint_interval=config.get("logging", {}).get("ckpt_intervals", 500),
+    ), config
+
+
+def make_dataset(config):
+    datasets_cfg = config.get("datasets", {}).get("train")
+    if datasets_cfg is not None and "function" in datasets_cfg:
+        return instantiate(datasets_cfg)
+    # minimal direct construction
+    return KITTI360Dataset(
+        filenames=config["filenames"],
+        num_source_frames=config.get("num_source_frames", 16),
+    )
+
+
+def train(args):
+    cfg, config = build_config(args)
+    logger = parallel.get_logger("vsrd_tpu.main", rank_zero_only=False)
+
+    parallel.initialize()
+    dataset = make_dataset(config)
+    indices = parallel.shard_indices(len(dataset))
+    logger.info(
+        f"process {parallel.process_index()}/{parallel.process_count()}: "
+        f"{len(indices)} of {len(dataset)} target frames"
+    )
+
+    config_dirname = os.path.dirname(args.config)
+    meters = ProgressMeter(len(indices) * cfg.num_steps)
+    stop_watch = StopWatch()
+    stop_watch.start()
+
+    for index in indices:
+        samples = dataset[int(index)]
+        target = samples[0]
+        image_filename = target["filename"]
+        root_dirname = dataset.get_root_dirname(image_filename)
+        image_dirname = os.path.splitext(
+            os.path.relpath(image_filename, root_dirname)
+        )[0]
+
+        ckpt_dirname = os.path.join(
+            config_dirname.replace("configs", "ckpts"), image_dirname
+        )
+        log_dirname = os.path.join(
+            config_dirname.replace("configs", "logs"), image_dirname
+        )
+
+        if has_final_checkpoint(ckpt_dirname, cfg.num_steps):
+            logger.warning(f"[{image_filename}] already optimized, skipping")
+            continue
+        num_instances = len(target["instance_ids"])
+        if not num_instances:
+            logger.warning(f"[{image_filename}] no instances, skipping")
+            continue
+
+        os.makedirs(log_dirname, exist_ok=True)
+        with open(os.path.join(log_dirname, "config.json"), "w") as file:
+            json.dump(config, file, indent=4)
+
+        frame_kwargs = align_to_target(
+            samples, max_instances=round_up_instances(num_instances)
+        )
+        frame = frame_mod.build_frame_data(None, **frame_kwargs)
+
+        saver = Saver(ckpt_dirname)
+        writer = SummaryWriter(log_dirname) if SummaryWriter else None
+        scalar_every = config.get("logging", {}).get("scalar_intervals", 50)
+
+        def callback(step, params, scalars):
+            saver.save(
+                f"step_{step - 1}",
+                step=np.asarray(step - 1),
+                models={"detector": jax.device_get(params["boxes"]),
+                        "hyper_distance_field": jax.device_get(params["hyper"])},
+                metrics={
+                    k: np.asarray(v[-1])
+                    for k, v in scalars.items()
+                },
+                valid=np.asarray(frame.valid),
+            )
+            base = step - len(scalars["loss"])
+            for offset in range(scalar_every - 1, len(scalars["loss"]), scalar_every):
+                for name, values in scalars.items():
+                    if writer is not None:
+                        writer.add_scalar(
+                            f"scalars/{name}", float(values[offset]), base + offset
+                        )
+            meters.update(optimize=stop_watch.restart())
+            logger.info(
+                f"[{image_filename}] step {step}/{cfg.num_steps} "
+                f"loss={float(scalars['loss'][-1]):.4f} "
+                f"iou_3d={float(scalars['iou_3d'][-1]):.4f} "
+                f"progress={meters.progress():.2%}"
+            )
+
+        seed = config.get("random", {}).get("global_seed", 0)
+        if config.get("random", {}).get("use_unique_seed", True):
+            seed = seed + parallel.process_index()
+        key = jax.random.fold_in(jax.random.PRNGKey(seed), int(index))
+
+        opt.optimize_frame(frame, key, cfg, callback=callback)
+        if writer is not None:
+            writer.close()
+
+    logger.info(f"done in {stop_watch.stop():.1f}s")
+
+
+def main():
+    parser = argparse.ArgumentParser(
+        description="vsrd_tpu: volumetric silhouette rendering auto-labeler"
+    )
+    parser.add_argument("--config", type=str, required=True)
+    parser.add_argument("--train", action="store_true")
+    parser.add_argument("--launcher", type=str, default="jax",
+                        choices=["jax", "slurm", "torchrun"],
+                        help="rendezvous handled by jax.distributed; flag "
+                             "kept for CLI compatibility")
+    args = parser.parse_args()
+    if args.train:
+        train(args)
+
+
+if __name__ == "__main__":
+    main()

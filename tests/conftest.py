@@ -19,4 +19,7 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# Belt and suspenders: the env var alone loses to an eagerly-registered
+# TPU plugin; the config flag wins as long as no backend is live yet.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)

@@ -1,0 +1,227 @@
+import json
+import os
+
+import numpy as np
+import pytest
+
+from vsrd_tpu.data import rle
+from vsrd_tpu.data import transforms as tf
+from vsrd_tpu.utils import saver
+from vsrd_tpu.configuration.configurator import Configurator
+from vsrd_tpu.configuration.registry import instantiate, register_defaults
+
+
+class TestRLE:
+    def test_roundtrip_random(self):
+        rng = np.random.default_rng(0)
+        for _ in range(10):
+            mask = (rng.random((37, 53)) > 0.7).astype(np.uint8)
+            encoded = rle.encode(mask)
+            decoded = rle.decode(encoded)
+            np.testing.assert_array_equal(decoded, mask)
+
+    def test_roundtrip_edge_cases(self):
+        for mask in [
+            np.zeros((5, 7), np.uint8),
+            np.ones((5, 7), np.uint8),
+            np.eye(6, dtype=np.uint8),
+        ]:
+            np.testing.assert_array_equal(rle.decode(rle.encode(mask)), mask)
+
+    def test_uncompressed_counts_list(self):
+        # column-major: 2x2 mask with left column set
+        mask = np.array([[1, 0], [1, 0]], np.uint8)
+        counts = rle.encode_counts(mask)
+        assert counts == [0, 2, 2]
+        np.testing.assert_array_equal(
+            rle.decode({"size": [2, 2], "counts": counts}), mask
+        )
+
+    def test_area(self):
+        mask = (np.arange(100).reshape(10, 10) % 3 == 0).astype(np.uint8)
+        assert rle.area(rle.encode(mask)) == int(mask.sum())
+
+    def test_compressed_string_is_ascii(self):
+        mask = np.tri(20, 20).astype(np.uint8)
+        encoded = rle.encode(mask)
+        assert isinstance(encoded["counts"], str)
+        assert all(32 <= ord(c) < 127 for c in encoded["counts"])
+
+
+def _sample(n=3, h=32, w=48, seed=0):
+    rng = np.random.default_rng(seed)
+    masks = np.zeros((n, h, w), np.float32)
+    for i in range(n):
+        y, x = rng.integers(4, h - 12), rng.integers(4, w - 16)
+        masks[i, y : y + 8, x : x + 12] = 1.0
+    return {
+        "image": rng.random((h, w, 3)).astype(np.float32),
+        "masks": masks,
+        "labels": np.zeros(n, np.int64),
+        "boxes_3d": rng.normal(size=(n, 8, 3)).astype(np.float32),
+        "instance_ids": np.arange(n),
+        "intrinsic_matrix": np.array(
+            [[40.0, 0, w / 2], [0, 40.0, h / 2], [0, 0, 1]], np.float32
+        ),
+        "extrinsic_matrix": np.eye(4, dtype=np.float32),
+    }
+
+
+class TestTransforms:
+    def test_resizer_scales_intrinsics(self):
+        sample = _sample()
+        out = tf.Resizer((64, 96))(sample)
+        assert out["image"].shape == (64, 96, 3)
+        assert out["masks"].shape == (3, 64, 96)
+        np.testing.assert_allclose(
+            out["intrinsic_matrix"][0, 0],
+            sample["intrinsic_matrix"][0, 0] * 2,
+            rtol=1e-5,
+        )
+
+    def test_mask_area_filter(self):
+        sample = _sample()
+        sample["masks"][1] = 0.0
+        out = tf.MaskAreaFilter(min_mask_area=10)(sample)
+        assert len(out["masks"]) == 2
+        assert len(out["instance_ids"]) == 2
+
+    def test_box_generator(self):
+        sample = _sample()
+        out = tf.BoxGenerator()(sample)
+        boxes = out["boxes_2d"]
+        assert boxes.shape == (3, 2, 2)
+        for mask, box in zip(sample["masks"], boxes):
+            ys, xs = np.nonzero(mask)
+            np.testing.assert_array_equal(box[0], [xs.min(), ys.min()])
+            np.testing.assert_array_equal(box[1], [xs.max(), ys.max()])
+
+    def test_soft_rasterizer_properties(self):
+        sample = _sample(n=1)
+        out = tf.SoftRasterizer()(sample)
+        soft = out["soft_masks"][0]
+        hard = out["hard_masks"][0]
+        assert soft.shape == hard.shape
+        # well inside the rectangle -> close to 1; far outside -> close to 0
+        ys, xs = np.nonzero(hard)
+        cy, cx = int(ys.mean()), int(xs.mean())
+        # temperature 10 => sigmoid(d/10); small rect center is ~3.5 px in
+        assert soft[cy, cx] > 0.55
+        assert soft[0, 0] < 0.3
+
+    def test_mask_refiner_fills_holes(self):
+        sample = _sample(n=1)
+        mask = sample["masks"][0]
+        ys, xs = np.nonzero(mask)
+        holey = mask.copy()
+        holey[int(ys.mean()), int(xs.mean())] = 0.0
+        sample["masks"] = holey[None]
+        out = tf.MaskRefiner()(sample)
+        assert out["masks"][0][int(ys.mean()), int(xs.mean())] == 1.0
+
+    def test_horizontal_flip_intrinsics(self):
+        sample = _sample()
+        flipper = tf.RandomHorizontalFlipper(probability=1.0)
+        out = flipper(sample)
+        np.testing.assert_array_equal(out["image"], sample["image"][:, ::-1])
+        # projecting the flipped K onto a known point mirrors x
+        k = out["intrinsic_matrix"]
+        assert k[0, 0] < 0
+
+    def test_photometric_transforms_preserve_range(self):
+        sample = _sample()
+        for transform in [
+            tf.FractalBrownianMotion(0.2, (4, 4), 0.5, 2, 2,
+                                     rng=np.random.default_rng(0)),
+            tf.RandomConvolution([3, 5], rng=np.random.default_rng(0)),
+        ]:
+            out = transform(sample)
+            assert out["image"].shape == sample["image"].shape
+            assert out["image"].min() >= 0.0 and out["image"].max() <= 1.0
+
+
+class TestSaver:
+    def test_roundtrip(self, tmp_path):
+        tree = {
+            "step": np.asarray(42),
+            "models": {"detector": {"locations": np.random.rand(3, 3)}},
+            "list": [np.arange(4), np.ones(2)],
+            "tup": (np.zeros(3),),
+        }
+        path = str(tmp_path / "ckpt.npz")
+        saver.save_checkpoint(path, tree)
+        loaded = saver.load_checkpoint(path)
+        assert int(loaded["step"]) == 42
+        np.testing.assert_array_equal(
+            loaded["models"]["detector"]["locations"],
+            tree["models"]["detector"]["locations"],
+        )
+        assert isinstance(loaded["tup"], tuple)
+        np.testing.assert_array_equal(loaded["list"][0], np.arange(4))
+
+    def test_saver_class(self, tmp_path):
+        s = saver.Saver(str(tmp_path))
+        s.save("step_10", step=np.asarray(10), metrics={"iou": np.asarray(0.5)})
+        assert s.exists("step_10")
+        loaded = s.load("step_10")
+        assert float(loaded["metrics"]["iou"]) == 0.5
+
+
+class TestConfigurator:
+    def test_hierarchical_load(self, tmp_path):
+        root = tmp_path / "configs"
+        leaf = root / "drive_0"
+        leaf.mkdir(parents=True)
+        (root / "config.json").write_text(
+            json.dumps({"a": 1, "nested": {"x": 1, "y": 2}})
+        )
+        (leaf / "config.json").write_text(
+            json.dumps({"b": 2, "nested": {"y": 3}})
+        )
+        config = Configurator.load(str(leaf / "config.json"))
+        assert config == {"a": 1, "b": 2, "nested": {"x": 1, "y": 3}}
+
+    def test_gather_scatter_roundtrip(self, tmp_path):
+        root = tmp_path / "configs"
+        for name, extra in [("a", 1), ("b", 2)]:
+            child = root / name
+            child.mkdir(parents=True)
+            (child / "config.json").write_text(
+                json.dumps({"shared": {"k": 9}, "own": extra})
+            )
+        Configurator.gather(str(root))
+        parent = json.loads((root / "config.json").read_text())
+        assert parent == {"shared": {"k": 9}}
+        child_a = json.loads((root / "a" / "config.json").read_text())
+        assert child_a == {"own": 1}
+        # loading a child still sees the shared key
+        config = Configurator.load(str(root / "a" / "config.json"))
+        assert config["shared"]["k"] == 9 and config["own"] == 1
+        Configurator.scatter(str(root))
+        assert not (root / "config.json").exists()
+        child_a = json.loads((root / "a" / "config.json").read_text())
+        assert child_a == {"shared": {"k": 9}, "own": 1}
+
+
+class TestRegistry:
+    def test_instantiate_transform_chain(self):
+        register_defaults()
+        chain = instantiate(
+            [
+                {"function": "vsrd.transforms.Resizer",
+                 "kwargs": {"image_size": [64, 96]}},
+                {"function": "vsrd.transforms.MaskAreaFilter",
+                 "kwargs": {"min_mask_area": 1}},
+            ]
+        )
+        assert isinstance(chain[0], tf.Resizer)
+        out = chain[0](_sample())
+        assert out["image"].shape == (64, 96, 3)
+
+    def test_eval_rejected(self):
+        with pytest.raises(ValueError):
+            instantiate("eval:__import__('os')")
+
+    def test_ref_lookup(self):
+        context = {"models": {"detector": 7}}
+        assert instantiate("ref:models.detector", context) == 7

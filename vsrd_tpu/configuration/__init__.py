@@ -1,1 +1,3 @@
-
+from . import configurator, registry
+from .configurator import Configurator
+from .registry import instantiate, register, register_defaults

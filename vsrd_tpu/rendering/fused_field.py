@@ -457,7 +457,8 @@ def scene_eval_stacked_t(pos_t, locations, rotations, half_dims, valid,
     """(u [1, T], weights [N, T], grads [3, T]) with hand-rolled tangents.
 
     ``pos_t [3, T]``; per-instance params stacked as [N, ...] with all
-    per-point work on [N, T] slabs. ``mats`` from
+    per-point work on [N, T] slabs; ``valid [N, 1]`` (2D so the Pallas
+    auto-vmap batching rule accepts it). ``mats`` from
     `build_interleaved_layers` (empty tuple during warmup).
     """
     n = statics.num_instances
@@ -607,7 +608,7 @@ def scene_eval_stacked_t(pos_t, locations, rotations, half_dims, valid,
         dsig = sig * (1.0 - sig)
         t_dist = [td + dsig * tx for td, tx in zip(t_dist, t_x)]
 
-    logits = -distances / temperature + (valid[:, None] - 1.0) * 1e30
+    logits = -distances / temperature + (valid - 1.0) * 1e30
     weights = jax.nn.softmax(logits, axis=0)
     union = jnp.sum(distances * weights, axis=0, keepdims=True)  # [1, T]
 
@@ -626,7 +627,7 @@ def scene_eval_stacked(positions, locations, rotations, half_dims, valid,
                        mats, temperature, statics: FieldStatics):
     """Standard-layout adapter over the stacked evaluator (for tests)."""
     union, weights, grads = scene_eval_stacked_t(
-        positions.T, locations, rotations, half_dims, valid, mats,
+        positions.T, locations, rotations, half_dims, valid[:, None], mats,
         temperature, statics,
     )
     return union[0], weights.T, grads.T

@@ -147,6 +147,7 @@ def _fused_forward(statics, tile, positions, locations, rotations, half_dims,
     pos_t, p_real = _pad_to(positions.T, tile, axis=1)           # [3, P]
     p = pos_t.shape[1]
     grid = (p // tile,)
+    valid = valid.reshape(n, 1)
 
     temperature = jnp.asarray(temperature, jnp.float32).reshape(1)
 
@@ -200,9 +201,12 @@ def _fused_bwd_rule(statics, tile, residuals, cotangents):
     du, dw, dg = cotangents
 
     # The recompute-vjp inside the kernel holds the tile's reverse-mode
-    # residuals in VMEM, so the backward tile must be smaller.
-    tile = min(tile, 256)
+    # residuals in VMEM, so the backward tile must be smaller — but only
+    # when the hyper-MLP runs; the box-only (warmup) tile is tiny.
+    if statics.use_rdf:
+        tile = min(tile, 256)
     n = statics.num_instances
+    valid2 = valid.reshape(n, 1)
     pos_t, p_real = _pad_to(positions.T, tile, axis=1)
     p = pos_t.shape[1]
     du_t, _ = _pad_to(du[None, :], tile, axis=1)                 # [1, P]
@@ -229,7 +233,7 @@ def _fused_bwd_rule(statics, tile, residuals, cotangents):
         _const_spec(locations.shape),
         _const_spec(rotations.shape),
         _const_spec(half_dims.shape),
-        _const_spec(valid.shape),
+        _const_spec(valid2.shape),
         pl.BlockSpec(memory_space=pltpu.SMEM),
         *[_const_spec(m.shape) for m in layers],
         _tile_spec(1, tile),                     # du
@@ -249,7 +253,7 @@ def _fused_bwd_rule(statics, tile, residuals, cotangents):
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=INTERPRET,
-    )(pos_t, locations, rotations, half_dims, valid, temperature_arr,
+    )(pos_t, locations, rotations, half_dims, valid2, temperature_arr,
       *layers, du_t, dg_t, dw_t)
 
     dloc, drot, dhalf, *dlayers = outs
