@@ -42,7 +42,7 @@ except ImportError:  # pragma: no cover
     SummaryWriter = None
 
 
-def round_up_instances(n, buckets=(4, 8, 16, 24, 32)):
+def round_up_instances(n, buckets=(8, 16, 24, 32)):
     """Pad instance counts to a small set of buckets so jit caches a few
     compiled programs instead of one per count."""
     for bucket in buckets:

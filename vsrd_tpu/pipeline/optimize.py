@@ -225,8 +225,12 @@ def compute_loss(
     field = None
     field_with_grad = None
     if use_pallas:
+        # Mosaic layouts want the instance-slab row count to be a sublane
+        # multiple; pad the scene to N8 = ceil(N/8)*8 (padded slots are
+        # invalid and their outputs are sliced away).
+        n8 = (n + 7) // 8 * 8
         statics = fused_field.FieldStatics(
-            num_instances=n,
+            num_instances=n8,
             num_frequencies=cfg.num_frequencies,
             position_scale=cfg.position_scale,
             out_channels_list=tuple(cfg.field_channels),
@@ -236,16 +240,38 @@ def compute_loss(
             field_dtype=None,
             matmul_precision=cfg.pallas_matmul_precision,
         )
+        pad = n8 - n
+
+        def pad_rows(x, fill=0.0):
+            if pad == 0:
+                return x
+            widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+            return jnp.pad(x, widths, constant_values=fill)
+
+        locations_p = pad_rows(decoded["locations"])
+        rotations_p = (
+            decoded["orientations"]
+            if pad == 0
+            else jnp.concatenate(
+                [
+                    decoded["orientations"],
+                    jnp.broadcast_to(jnp.eye(3), (pad, 3, 3)),
+                ],
+                axis=0,
+            )
+        )
+        dimensions_p = pad_rows(decoded["dimensions"], fill=1.0)
+        valid_f = pad_rows(frame.valid.astype(jnp.float32))
+
         layers = (
             fused_field.build_interleaved_layers(
-                field_weights,
+                pad_rows(field_weights),
                 in_channels=3 * cfg.num_frequencies * 2,
                 out_channels_list=cfg.field_channels,
             )
             if use_rdf
             else ()
         )
-        valid_f = frame.valid.astype(jnp.float32)
 
         def field_with_grad(positions):
             shape = positions.shape[:-1]
@@ -253,14 +279,18 @@ def compute_loss(
                 statics,
                 cfg.pallas_tile,
                 positions.reshape(-1, 3),
-                decoded["locations"],
-                decoded["orientations"],
-                decoded["dimensions"],
+                locations_p,
+                rotations_p,
+                dimensions_p,
                 valid_f,
                 layers,
                 temperature,
             )
-            return u.reshape(shape), w.reshape(*shape, n), g.reshape(*shape, 3)
+            return (
+                u.reshape(shape),
+                w[:, :n].reshape(*shape, n),
+                g.reshape(*shape, 3),
+            )
 
     else:
         packed_weights = None
