@@ -33,6 +33,7 @@ from vsrd_tpu.configuration.registry import instantiate  # noqa: E402
 from vsrd_tpu.data.kitti360 import KITTI360Dataset, align_to_target  # noqa: E402
 from vsrd_tpu.pipeline import frame as frame_mod  # noqa: E402
 from vsrd_tpu.pipeline import optimize as opt  # noqa: E402
+from vsrd_tpu.pipeline import render_image  # noqa: E402
 from vsrd_tpu.utils.meters import ProgressMeter, StopWatch  # noqa: E402
 from vsrd_tpu.utils.saver import Saver, has_final_checkpoint  # noqa: E402
 
@@ -138,6 +139,7 @@ def train(args):
         saver = Saver(ckpt_dirname)
         writer = SummaryWriter(log_dirname) if SummaryWriter else None
         scalar_every = config.get("logging", {}).get("scalar_intervals", 50)
+        image_every = config.get("logging", {}).get("image_intervals", 500)
 
         def callback(step, params, scalars):
             saver.save(
@@ -158,6 +160,18 @@ def train(args):
                         writer.add_scalar(
                             f"scalars/{name}", float(values[offset]), base + offset
                         )
+            if writer is not None and step % image_every == 0:
+                probs = np.asarray(
+                    render_image.render_instance_probabilities(
+                        params, frame, step - 1, cfg,
+                        view=int(frame.target_index),
+                    )
+                )
+                writer.add_image(
+                    "images/instance_probabilities",
+                    probs.max(axis=-1, keepdims=True).transpose(2, 0, 1),
+                    step,
+                )
             meters.update(optimize=stop_watch.restart())
             logger.info(
                 f"[{image_filename}] step {step}/{cfg.num_steps} "

@@ -1,3 +1,3 @@
-from . import frame, optimize, sharded
+from . import frame, optimize, photometric, render_image, sharded
 from .frame import FrameData, build_frame_data, synthetic_frame
 from .optimize import OptimizationConfig, optimize_frame, init_params

@@ -45,6 +45,7 @@ from ..rendering import rays as rays_mod
         "gt_boxes_3d",
         "rectification",
         "target_index",
+        "gray_images",
     ),
 )
 @dataclasses.dataclass(frozen=True)
@@ -71,6 +72,8 @@ class FrameData:
     rectification: jax.Array        # [3, 3]
     target_index: jax.Array         # [] int32 — position of the target view
     image_size: tuple[int, int]     # static (H, W)
+    # grayscale images [V, H, W] — only needed by the photometric loss
+    gray_images: jax.Array | None = None
 
     def _replace(self, **kwargs):
         return dataclasses.replace(self, **kwargs)
@@ -160,6 +163,13 @@ def build_frame_data(
     inv_p = inv_e[:, :3, :3] @ inv_k
     cam = inv_e[:, :3, 3]
 
+    gray = None
+    if images_or_none is not None:
+        stack = np.stack(images_or_none).astype(np.float32)  # [V, H, W, 3]
+        gray = jnp.asarray(
+            stack @ np.asarray([0.299, 0.587, 0.114], np.float32)
+        )
+
     return FrameData(
         soft_masks_flat=jnp.asarray(flat, jnp.bfloat16),
         sampling_weights=jnp.asarray(sampling),
@@ -176,6 +186,7 @@ def build_frame_data(
         rectification=jnp.asarray(rectification, jnp.float32),
         target_index=jnp.asarray(target_index, jnp.int32),
         image_size=(h, w),
+        gray_images=gray,
     )
 
 
@@ -186,6 +197,7 @@ def synthetic_frame(
     num_instances: int = 3,
     max_instances: int = 4,
     seed_boxes: np.ndarray | None = None,
+    with_images: bool = False,
 ) -> FrameData:
     """A synthetic multi-view scene with ground-truth boxes for tests and
     benchmarks (BASELINE.json config 1 analogue): cars as boxes 4-10 m in
@@ -277,8 +289,20 @@ def synthetic_frame(
     valid = np.zeros(max_instances, bool)
     valid[:num_instances] = True
 
+    images = None
+    if with_images:
+        # shaded masks + noise so the photometric branch has texture
+        images = [
+            np.clip(
+                masks.max(0)[..., None] * rng.uniform(0.4, 0.9)
+                + rng.random((h, w, 1)) * 0.3,
+                0.0, 1.0,
+            ).repeat(3, axis=-1).astype(np.float32)
+            for masks in soft_masks
+        ]
+
     return build_frame_data(
-        None,
+        images,
         soft_masks,
         intrinsics,
         extrinsics,

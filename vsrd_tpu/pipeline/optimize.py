@@ -56,6 +56,12 @@ class OptimizationConfig:
     silhouette_weight: float = 1.0
     eikonal_weight: float = 0.01
     photometric_weight: float = 0.0
+    # surface rendering (photometric branch; config.json:216-224)
+    surface_num_rays: int = 100
+    surface_num_iterations: int = 1000
+    surface_convergence_criteria: float = 0.01
+    surface_bounding_radius: float = 100.0
+    surface_patch_size: tuple[int, int] = (11, 11)
     # optimizer (config.json:166-214)
     box_lr: float = 0.01
     embedding_lr: float = 1e-3
@@ -358,11 +364,58 @@ def compute_loss(
     else:
         losses["eikonal_loss"] = jnp.zeros(())
 
+    use_photometric = (
+        cfg.photometric_weight > 0.0
+        and use_rdf
+        and frame.gray_images is not None
+    )
+    if use_photometric:
+        from . import photometric as photometric_mod
+
+        packed_ref = (
+            tuple(
+                hyper_field.pack_block_diagonal(
+                    field_weights,
+                    in_channels=3 * cfg.num_frequencies * 2,
+                    out_channels_list=cfg.field_channels,
+                )
+            )
+            if use_rdf
+            else None
+        )
+        hard_scene_params = scene.SceneParams(
+            locations=decoded["locations"],
+            rotations=decoded["orientations"],
+            half_dimensions=decoded["dimensions"],
+            valid=frame.valid,
+            packed_weights=packed_ref,
+        )
+        hard_field = scene.hard_scene_field(
+            hard_scene_params,
+            cfg.position_scale,
+            cfg.num_frequencies,
+            cfg.field_channels,
+        )
+        key_render, key_surface = jax.random.split(key_render)
+        losses["photometric_loss"], _ = photometric_mod.photometric_loss(
+            frame,
+            hard_field,
+            key_surface,
+            num_rays=cfg.surface_num_rays,
+            num_iterations=cfg.surface_num_iterations,
+            convergence_criteria=cfg.surface_convergence_criteria,
+            bounding_radius=cfg.surface_bounding_radius,
+            patch_size=cfg.surface_patch_size,
+        )
+    else:
+        losses["photometric_loss"] = jnp.zeros(())
+
     total = (
         cfg.iou_projection_weight * losses["iou_projection_loss"]
         + cfg.l1_projection_weight * losses["l1_projection_loss"]
         + cfg.silhouette_weight * losses["silhouette_loss"]
         + cfg.eikonal_weight * losses["eikonal_loss"]
+        + cfg.photometric_weight * losses["photometric_loss"]
     )
 
     aux = {
