@@ -16,7 +16,7 @@ import jax as _jax
 # opt in locally (e.g. the Pallas field kernels accumulate in fp32).
 _jax.config.update("jax_default_matmul_precision", "highest")
 
-from . import ops, rendering, models, losses, data, parallel, configuration, utils
-from . import visualization, pipeline
+from . import ops, rendering, models, modules, losses, data, parallel
+from . import configuration, utils, visualization, pipeline
 
 __version__ = "0.1.0"

@@ -74,6 +74,13 @@ def init_hyper_field(
     return {"layers": layers}
 
 
+def init_hyper_radiance_field(key, **kwargs):
+    """RGB twin of the distance field: the generated MLP emits 3 channels
+    (reference hyper_radiance_field.py:7-77)."""
+    kwargs.setdefault("final_channels", 3)
+    return init_hyper_field(key, **kwargs)
+
+
 def _weight_norm(v: jax.Array, g: jax.Array, epsilon: float = 0.0) -> jax.Array:
     norms = jnp.linalg.norm(v, axis=-1, keepdims=True)
     return v * (g[:, None] / (norms + epsilon))

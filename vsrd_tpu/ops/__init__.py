@@ -1,4 +1,4 @@
-from . import geometry, iou2d, iou3d, matching, sampling
+from . import geometry, grid_sample, iou2d, iou3d, matching, sampling, warping
 from .geometry import (
     LINE_INDICES,
     backprojection,
