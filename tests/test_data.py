@@ -225,3 +225,45 @@ class TestRegistry:
     def test_ref_lookup(self):
         context = {"models": {"detector": 7}}
         assert instantiate("ref:models.detector", context) == 7
+
+
+class TestNative:
+    def test_rle_native_matches_numpy(self):
+        from vsrd_tpu.data import native
+
+        if native.load() is None:
+            pytest.skip("native library unavailable")
+        rng = np.random.default_rng(0)
+        mask = (rng.random((57, 91)) > 0.6).astype(np.uint8)
+        counts = native.rle_encode_native(mask)
+        # independent numpy encoding
+        flat = mask.astype(bool).flatten(order="F")
+        changes = np.nonzero(flat[1:] != flat[:-1])[0] + 1
+        runs = np.diff(np.concatenate([[0], changes, [flat.size]])).tolist()
+        if flat[0]:
+            runs = [0, *runs]
+        assert counts == [int(c) for c in runs]
+        np.testing.assert_array_equal(
+            native.rle_decode_native(counts, mask.shape), mask
+        )
+
+    def test_polygon_distance_native_matches_numpy(self):
+        from vsrd_tpu.data import native
+
+        if native.load() is None:
+            pytest.skip("native library unavailable")
+        rng = np.random.default_rng(1)
+        poly = rng.uniform(5, 40, (9, 2)).astype(np.float32)
+        fast = native.polygon_distance_map_native(poly, (48, 64))
+        ys, xs = np.mgrid[0:48, 0:64]
+        pts = np.stack([xs.ravel(), ys.ravel()], -1).astype(np.float32)
+        sides = np.roll(poly, -1, 0) - poly
+        rel = pts[:, None, :] - poly[None]
+        ratio = np.clip(
+            (rel * sides[None]).sum(-1)
+            / ((sides * sides).sum(-1) + 1e-6)[None],
+            0, 1,
+        )
+        nrm = rel - sides[None] * ratio[..., None]
+        ref = np.linalg.norm(nrm, axis=-1).min(-1).reshape(48, 64)
+        np.testing.assert_allclose(fast, ref, atol=1e-4)

@@ -17,6 +17,11 @@ import numpy as np
 
 def encode_counts(mask: np.ndarray) -> list[int]:
     """Binary mask [H, W] -> uncompressed column-major run lengths."""
+    from . import native
+
+    fast = native.rle_encode_native(mask)
+    if fast is not None:
+        return fast
     flat = np.asarray(mask, dtype=bool).flatten(order="F")
     if flat.size == 0:
         return []
@@ -30,6 +35,11 @@ def encode_counts(mask: np.ndarray) -> list[int]:
 
 def decode_counts(counts, size) -> np.ndarray:
     """Uncompressed run lengths -> binary mask [H, W] (uint8)."""
+    from . import native
+
+    fast = native.rle_decode_native(counts, size)
+    if fast is not None:
+        return fast
     h, w = size
     total = h * w
     flat = np.zeros(total, dtype=np.uint8)

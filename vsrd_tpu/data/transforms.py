@@ -211,7 +211,13 @@ class MaskRefiner:
 def polygon_distance_map(polygon: np.ndarray, image_size) -> np.ndarray:
     """Unsigned distance from each pixel to the polygon boundary
     (vectorized point-segment distance; reference
-    geometric_transforms.py:265-288)."""
+    geometric_transforms.py:265-288). Uses the native C++ kernel when
+    available (data/native.py)."""
+    from . import native
+
+    fast = native.polygon_distance_map_native(polygon, image_size)
+    if fast is not None:
+        return fast
     h, w = image_size
     ys, xs = np.mgrid[0:h, 0:w]
     points = np.stack([xs.ravel(), ys.ravel()], axis=-1).astype(np.float32)
