@@ -120,3 +120,36 @@ def test_field_apply_is_differentiable_wrt_weights():
     feats = jnp.asarray(rng.normal(size=(2, 3, 48)).astype(np.float32))
     grad = jax.grad(lambda w: jnp.sum(hyper_field.field_apply(w, feats)))(weights)
     assert np.isfinite(np.asarray(grad)).all()
+
+
+def test_tensorial_encoders():
+    from vsrd_tpu.models import encoders
+
+    key = jax.random.PRNGKey(0)
+    pos = jnp.asarray(np.random.default_rng(0).uniform(-0.9, 0.9, (7, 3)),
+                      jnp.float32)
+
+    cp = encoders.init_tensorial_cp_encoder(key, 12, (9, 9, 9))
+    out = encoders.tensorial_cp_encode(cp, pos)
+    assert out.shape == (7, 12)
+    # differentiable w.r.t. grid and positions
+    g = jax.grad(lambda p: jnp.sum(encoders.tensorial_cp_encode(cp, p)))(pos)
+    assert np.isfinite(np.asarray(g)).all()
+
+    vm = encoders.init_tensorial_vm_encoder(key, 12, (9, 9, 9))
+    out = encoders.tensorial_vm_encode(vm, pos)
+    assert out.shape == (7, 12)
+    g = jax.grad(lambda p: jnp.sum(encoders.tensorial_vm_encode(vm, p)))(pos)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_hyper_radiance_field_emits_rgb():
+    from vsrd_tpu.models import hyper_field
+
+    key = jax.random.PRNGKey(0)
+    params = hyper_field.init_hyper_radiance_field(key)
+    emb = jnp.zeros((2, 256))
+    weights = hyper_field.hypernetwork_apply(params, emb)
+    feats = jnp.zeros((2, 5, 48))
+    out = hyper_field.field_apply(weights, feats, final_channels=3)
+    assert out.shape == (2, 5, 3)

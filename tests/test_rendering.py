@@ -247,3 +247,48 @@ class TestBoxParameters:
         np.testing.assert_allclose(
             np.asarray(out["dimensions"][0, 0]), [0.875, 0.875, 2.0], atol=1e-5
         )
+
+
+class TestOccupancyRendering:
+    def test_occupancy_grid_lookup(self):
+        from vsrd_tpu.rendering import occupancy as occ
+
+        grid = occ.OccupancyGrid(
+            occupancy=jnp.zeros((8, 8, 8), bool).at[4, 4, 4].set(True),
+            origin=jnp.asarray([-4.0, -4.0, -4.0]),
+            extent=jnp.asarray([8.0, 8.0, 8.0]),
+        )
+        # cell [4,4,4] covers [0,1)^3
+        assert bool(grid.lookup(jnp.asarray([0.5, 0.5, 0.5])))
+        assert not bool(grid.lookup(jnp.asarray([2.5, 0.5, 0.5])))
+        assert not bool(grid.lookup(jnp.asarray([100.0, 0.0, 0.0])))
+
+    def test_update_from_sdf_and_render(self):
+        from vsrd_tpu.rendering import occupancy as occ
+
+        sc = _single_box_scene()
+        field = scene.soft_scene_field(sc, temperature=0.1)
+
+        grid = occ.OccupancyGrid(
+            occupancy=jnp.zeros((16, 16, 16), bool),
+            origin=jnp.asarray([-8.0, -8.0, -3.0]),
+            extent=jnp.asarray([16.0, 16.0, 16.0]),
+        )
+        grid = occ.update_occupancy_grid(
+            lambda p: field(p)[0], grid, threshold=1.5
+        )
+        assert int(grid.occupancy.sum()) > 0
+
+        out = occ.occupancy_volumetric_rendering(
+            field,
+            grid,
+            ray_positions=jnp.zeros((2, 3)),
+            ray_directions=jnp.asarray([[0.0, 0.0, 1.0], [0.0, 1.0, 0.0]]),
+            marching_step_size=0.25,
+            num_samples=48,
+            sdf_std_deviation=0.1,
+            stratified=False,
+        )
+        probs = np.asarray(out.features)
+        assert probs[0, 0] > 0.8   # hits the box
+        assert probs[1].max() < 0.1  # misses

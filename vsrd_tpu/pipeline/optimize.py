@@ -74,6 +74,7 @@ class OptimizationConfig:
     hyper_channels: tuple[int, ...] = (256, 256, 256, 256)
     # numerics
     checkpoint_interval: int = 500
+    metric_interval: int = 50
     remat_fields: bool = False
     field_dtype: str | None = "bfloat16"  # RDF MLP compute dtype (None = f32)
     use_pallas: bool = True               # fused field kernel on TPU
@@ -279,11 +280,13 @@ def compute_loss(
             else ()
         )
 
+        tile = cfg.pallas_tile
+
         def field_with_grad(positions):
             shape = positions.shape[:-1]
             u, w, g = pallas_field.fused_field_with_grad(
                 statics,
-                cfg.pallas_tile,
+                tile,
                 positions.reshape(-1, 3),
                 locations_p,
                 rotations_p,
@@ -478,8 +481,28 @@ def train_step(params, opt_state, frame, step, key, cfg, tx):
     updates, opt_state = tx.update(grads, opt_state, params)
     params = optax.apply_updates(params, updates)
 
-    metrics = compute_metrics(
-        frame, aux["cam_corners_target"], aux["row_to_col"]
+    # metrics only at the logging cadence (reference main.py:872: every
+    # scalar_intervals steps) — the polygon clips are ~1 ms/step otherwise
+    def with_metrics(args):
+        corners, row_to_col = args
+        return compute_metrics(frame, corners, row_to_col)
+
+    def without_metrics(args):
+        return {
+            "iou_3d": jnp.zeros(()),
+            "iou_bev": jnp.zeros(()),
+            "accuracy_3d_25": jnp.zeros(()),
+            "accuracy_bev_25": jnp.zeros(()),
+            "accuracy_3d_50": jnp.zeros(()),
+            "accuracy_bev_50": jnp.zeros(()),
+            "num_matched": jnp.zeros(()),
+        }
+
+    metrics = jax.lax.cond(
+        (step + 1) % cfg.metric_interval == 0,
+        with_metrics,
+        without_metrics,
+        (aux["cam_corners_target"], aux["row_to_col"]),
     )
     scalars = {
         "loss": loss,

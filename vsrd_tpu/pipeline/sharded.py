@@ -22,7 +22,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models import box_parameters, hyper_field
 from ..ops import iou2d, matching, sampling
-from ..rendering import renderer, scene
+from ..rendering import pallas_field, renderer, scene
 from . import optimize as opt_mod
 from .frame import FrameData, ray_directions_at
 
@@ -87,30 +87,92 @@ def _ray_sharded_loss(params, frame: FrameData, step, key, cfg, use_rdf: bool):
         progress, cfg.max_sdf_std_deviation, cfg.min_sdf_std_deviation
     )
 
-    packed_weights = None
+    field_weights = None
     if use_rdf:
         field_weights = hyper_field.hypernetwork_apply(
             params["hyper"], decoded["embeddings"]
         )
-        packed_weights = tuple(
-            hyper_field.pack_block_diagonal(
-                field_weights,
+
+    use_pallas = cfg.use_pallas and pallas_field.pallas_supported()
+    field = None
+    field_with_grad = None
+    if use_pallas:
+        from ..rendering import fused_field
+
+        n8 = (n + 7) // 8 * 8
+        statics = fused_field.FieldStatics(
+            num_instances=n8,
+            num_frequencies=cfg.num_frequencies,
+            position_scale=cfg.position_scale,
+            out_channels_list=tuple(cfg.field_channels),
+            use_rdf=use_rdf,
+            field_dtype=None,
+            matmul_precision=cfg.pallas_matmul_precision,
+        )
+        pad = n8 - n
+
+        def pad_rows(x, fill=0.0):
+            if pad == 0:
+                return x
+            widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+            return jnp.pad(x, widths, constant_values=fill)
+
+        locations_p = pad_rows(decoded["locations"])
+        rotations_p = (
+            decoded["orientations"]
+            if pad == 0
+            else jnp.concatenate(
+                [decoded["orientations"],
+                 jnp.broadcast_to(jnp.eye(3), (pad, 3, 3))], axis=0,
+            )
+        )
+        dimensions_p = pad_rows(decoded["dimensions"], fill=1.0)
+        valid_f = pad_rows(frame.valid.astype(jnp.float32))
+        layers = (
+            fused_field.build_interleaved_layers(
+                pad_rows(field_weights),
                 in_channels=3 * cfg.num_frequencies * 2,
                 out_channels_list=cfg.field_channels,
             )
+            if use_rdf
+            else ()
         )
-    scene_params = scene.SceneParams(
-        locations=decoded["locations"],
-        rotations=decoded["orientations"],
-        half_dimensions=decoded["dimensions"],
-        valid=frame.valid,
-        packed_weights=packed_weights,
-        field_dtype=jnp.dtype(cfg.field_dtype) if cfg.field_dtype else None,
-    )
-    field = scene.soft_scene_field(
-        scene_params, temperature, cfg.position_scale,
-        cfg.num_frequencies, cfg.field_channels,
-    )
+
+        def field_with_grad(positions):
+            shape = positions.shape[:-1]
+            u, w, g = pallas_field.fused_field_with_grad(
+                statics, cfg.pallas_tile, positions.reshape(-1, 3),
+                locations_p, rotations_p, dimensions_p, valid_f, layers,
+                temperature,
+            )
+            return (
+                u.reshape(shape),
+                w[:, :n].reshape(*shape, n),
+                g.reshape(*shape, 3),
+            )
+
+    else:
+        packed_weights = None
+        if use_rdf:
+            packed_weights = tuple(
+                hyper_field.pack_block_diagonal(
+                    field_weights,
+                    in_channels=3 * cfg.num_frequencies * 2,
+                    out_channels_list=cfg.field_channels,
+                )
+            )
+        scene_params = scene.SceneParams(
+            locations=decoded["locations"],
+            rotations=decoded["orientations"],
+            half_dimensions=decoded["dimensions"],
+            valid=frame.valid,
+            packed_weights=packed_weights,
+            field_dtype=jnp.dtype(cfg.field_dtype) if cfg.field_dtype else None,
+        )
+        field = scene.soft_scene_field(
+            scene_params, temperature, cfg.position_scale,
+            cfg.num_frequencies, cfg.field_channels,
+        )
 
     # replicated sampling (same key on every sp member), local slice render
     key_rays, key_render = jax.random.split(key)
@@ -126,6 +188,7 @@ def _ray_sharded_loss(params, frame: FrameData, step, key, cfg, use_rdf: bool):
     out = renderer.hierarchical_render(
         field, origins, directions, cfg.distance_range, cfg.num_samples,
         std, progress, key=jax.random.fold_in(key_render, sp_rank),
+        field_with_grad=field_with_grad,
     )
     targets = frame.soft_masks_flat[local_idx].astype(out.features.dtype)
     targets = jnp.take(targets, row_to_col, axis=-1)
