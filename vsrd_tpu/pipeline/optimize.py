@@ -301,7 +301,13 @@ def compute_loss(
                 g.reshape(*shape, 3),
             )
 
+        # note: substituting the XLA manual evaluator for the coarse pass
+        # was tried and is slower inside the full step graph (fusion
+        # regressions); the kernel serves both passes
+        field_with_grad_coarse = None
+
     else:
+        field_with_grad_coarse = None
         packed_weights = None
         if use_rdf:
             packed_weights = tuple(
@@ -345,6 +351,7 @@ def compute_loss(
         cosine_ratio,
         key=key_render,
         field_with_grad=field_with_grad,
+        field_with_grad_coarse=field_with_grad_coarse,
     )
     rendered = out.features  # [R, N] per-ray instance probabilities
 

@@ -173,8 +173,13 @@ def hierarchical_render(
     key: jax.Array | None = None,
     deterministic: bool = False,
     field_with_grad=None,
+    field_with_grad_coarse=None,
 ) -> RenderOutputs:
     """Coarse (gradient-stopped) + fine importance-sampled pass.
+
+    ``field_with_grad_coarse`` optionally overrides the evaluator for the
+    coarse pass (it runs under stop_gradient, so a forward-only-optimized
+    evaluator can be substituted).
 
     Mirrors the reference's hierarchical_wrapper (scripts/main.py:511-523):
     the coarse pass runs under no_grad — here `stop_gradient`, which lets
@@ -195,7 +200,11 @@ def hierarchical_render(
         cosine_ratio,
         key=key_coarse,
         deterministic=deterministic,
-        field_with_grad=field_with_grad,
+        field_with_grad=(
+            field_with_grad_coarse
+            if field_with_grad_coarse is not None
+            else field_with_grad
+        ),
     )
     coarse_distances = jax.lax.stop_gradient(coarse.distances)
     coarse_weights = jax.lax.stop_gradient(coarse.weights)
