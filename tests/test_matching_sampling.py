@@ -74,3 +74,27 @@ class TestMultinomialNoReplacement:
         assert ratios[1] == pytest.approx(2.0, rel=0.2)
         assert ratios[2] == pytest.approx(4.0, rel=0.2)
         assert ratios[3] == pytest.approx(8.0, rel=0.2)
+
+
+class TestSubsetDP:
+    @pytest.mark.parametrize("n", [1, 2, 5, 8, 12])
+    def test_matches_scipy(self, n):
+        rng = np.random.default_rng(100 + n)
+        solve = jax.jit(matching.linear_sum_assignment_dp)
+        for _ in range(15):
+            cost = rng.normal(size=(n, n)).astype(np.float32)
+            row_to_col = np.asarray(solve(jnp.asarray(cost)))
+            assert sorted(row_to_col) == list(range(n))
+            ours = cost[np.arange(n), row_to_col].sum()
+            ri, ci = scipy.optimize.linear_sum_assignment(cost)
+            np.testing.assert_allclose(ours, cost[ri, ci].sum(), atol=1e-4)
+
+    def test_agrees_with_jv(self):
+        rng = np.random.default_rng(3)
+        for _ in range(10):
+            cost = jnp.asarray(rng.normal(size=(8, 8)).astype(np.float32))
+            a = matching.linear_sum_assignment_dp(cost)
+            b = matching.linear_sum_assignment(cost)
+            ca = float(jnp.sum(cost[jnp.arange(8), a]))
+            cb = float(jnp.sum(cost[jnp.arange(8), b]))
+            assert abs(ca - cb) < 1e-4

@@ -14,6 +14,23 @@ import jax
 import jax.numpy as jnp
 
 
+def log_weights(weights: jax.Array) -> jax.Array:
+    """Precomputable log-weights for `multinomial_logits` (-inf at 0)."""
+    logits = jnp.log(jnp.clip(weights, min=jnp.finfo(weights.dtype).tiny))
+    return jnp.where(weights > 0, logits, -jnp.inf)
+
+
+def multinomial_logits(
+    key: jax.Array,
+    logits: jax.Array,
+    num_samples: int,
+) -> jax.Array:
+    """Gumbel top-k over precomputed log-weights."""
+    gumbel = jax.random.gumbel(key, logits.shape, logits.dtype)
+    _, indices = jax.lax.top_k(logits + gumbel, num_samples)
+    return indices.astype(jnp.int32)
+
+
 def multinomial_no_replacement(
     key: jax.Array,
     weights: jax.Array,
@@ -24,8 +41,4 @@ def multinomial_no_replacement(
     ``weights [..., P]`` nonnegative (not necessarily normalized).
     Returns ``[..., num_samples]`` int32 indices.
     """
-    logits = jnp.log(jnp.clip(weights, min=jnp.finfo(weights.dtype).tiny))
-    logits = jnp.where(weights > 0, logits, -jnp.inf)
-    gumbel = jax.random.gumbel(key, weights.shape, weights.dtype)
-    _, indices = jax.lax.top_k(logits + gumbel, num_samples)
-    return indices.astype(jnp.int32)
+    return multinomial_logits(key, log_weights(weights), num_samples)

@@ -60,7 +60,7 @@ class FrameData:
     soft_masks_flat: jax.Array      # [P, N] bf16 — target-aligned soft masks
     sampling_weights: jax.Array     # [P] f32 — max-over-instances soft mask
     candidate_indices: jax.Array    # [K] int32 — top-K pixels by weight
-    candidate_weights: jax.Array    # [K] f32 — their sampling weights
+    candidate_weights: jax.Array    # [K] f32 — their LOG sampling weights
     intrinsics: jax.Array           # [V, 3, 3]
     extrinsics: jax.Array           # [V, 4, 4] (world -> camera, rectified)
     inv_projections: jax.Array      # [V, 3, 3] = R^T K^-1 (pixel -> world dir)
@@ -156,7 +156,12 @@ def build_frame_data(
         cand = np.argpartition(sampling, -k)[-k:].astype(np.int32)
     else:
         cand = np.arange(sampling.size, dtype=np.int32)
-    cand_weights = sampling[cand]
+    with np.errstate(divide="ignore"):
+        cand_weights = np.where(
+            sampling[cand] > 0,
+            np.log(np.maximum(sampling[cand], np.finfo(np.float32).tiny)),
+            -np.inf,
+        ).astype(np.float32)
 
     inv_k = np.linalg.inv(intrinsics)
     inv_e = np.linalg.inv(extrinsics)

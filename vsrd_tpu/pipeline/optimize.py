@@ -335,7 +335,7 @@ def compute_loss(
 
     # ---------------- silhouette rendering ----------------
     key_rays, key_render = jax.random.split(key)
-    cand_idx = sampling.multinomial_no_replacement(
+    cand_idx = sampling.multinomial_logits(
         key_rays, frame.candidate_weights, cfg.num_rays
     )
     ray_idx = frame.candidate_indices[cand_idx]

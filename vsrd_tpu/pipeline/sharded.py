@@ -176,7 +176,7 @@ def _ray_sharded_loss(params, frame: FrameData, step, key, cfg, use_rdf: bool):
 
     # replicated sampling (same key on every sp member), local slice render
     key_rays, key_render = jax.random.split(key)
-    cand_idx = sampling.multinomial_no_replacement(
+    cand_idx = sampling.multinomial_logits(
         key_rays, frame.candidate_weights, cfg.num_rays
     )
     ray_idx = frame.candidate_indices[cand_idx]
