@@ -295,13 +295,11 @@ def align_to_target(samples: dict, max_instances: int | None = None):
 
 
 class KITTIRawDataset(KITTI360Dataset):
-    """KITTI-Raw variant: same contract, no 3D GT boxes
-    (reference kitti_raw_dataset.py:18-248)."""
+    """KITTI-Raw variant: same contract, boxes_3d are all-NaN (no GT)
+    (reference kitti_raw_dataset.py:18-248; path mapping at :61-67)."""
 
     @staticmethod
     def get_annotation_filename(image_filename):
-        return (
-            image_filename.replace("data", "annotations", 1)
-            .replace("image_02/data/", "")
-            .replace(".png", ".json")
+        return image_filename.replace("image", "annotations").replace(
+            ".png", ".json"
         )
