@@ -102,6 +102,8 @@ def train(args):
     meters = ProgressMeter(len(indices) * cfg.num_steps)
     stop_watch = StopWatch()
     stop_watch.start()
+    import time as _time
+    run_start = _time.time()
 
     for index in indices:
         samples = dataset[int(index)]
@@ -189,7 +191,7 @@ def train(args):
         if writer is not None:
             writer.close()
 
-    logger.info(f"done in {stop_watch.stop():.1f}s")
+    logger.info(f"done in {_time.time() - run_start:.1f}s")
 
 
 def main():
