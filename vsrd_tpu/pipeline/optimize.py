@@ -79,6 +79,10 @@ class OptimizationConfig:
     field_dtype: str | None = "bfloat16"  # RDF MLP compute dtype (None = f32)
     use_pallas: bool = True               # fused field kernel on TPU
     pallas_tile: int = 1024               # points per kernel grid step
+    pallas_bwd_tile: int = 512            # backward (recompute-vjp) tile
+    # warmup box-only kernels are elementwise-tiny: a large tile
+    # amortizes the grid-step latency that dominates them
+    pallas_box_tile: int = 8192
     # 'default': one-pass bf16-multiply/f32-accumulate MXU matmuls in the
     # kernel (~4 mm SDF error, 4x faster); 'highest': exact f32
     pallas_matmul_precision: str = "default"
@@ -280,7 +284,11 @@ def compute_loss(
             else ()
         )
 
-        tile = cfg.pallas_tile
+        tile = (
+            (cfg.pallas_tile, cfg.pallas_bwd_tile)
+            if use_rdf
+            else (cfg.pallas_box_tile, cfg.pallas_box_tile)
+        )
 
         def field_with_grad(positions):
             shape = positions.shape[:-1]

@@ -452,17 +452,27 @@ def build_interleaved_layers(weights: jax.Array,
     return tuple(mats)
 
 
-def scene_eval_stacked_t(pos_t, locations, rotations, half_dims, valid,
-                         mats, temperature, statics: FieldStatics):
-    """(u [1, T], weights [N, T], grads [3, T]) with hand-rolled tangents.
+def _scene_eval_stacked_core(pos_t, dirs, locations, rotations, half_dims,
+                             valid, mats, temperature,
+                             statics: FieldStatics):
+    """(u [1, T], weights [N, T], u_dots [K, T]) with hand-rolled tangents.
 
     ``pos_t [3, T]``; per-instance params stacked as [N, ...] with all
     per-point work on [N, T] slabs; ``valid [N, 1]`` (2D so the Pallas
     auto-vmap batching rule accepts it). ``mats`` from
     `build_interleaved_layers` (empty tuple during warmup).
+
+    ``dirs`` selects the forward-mode tangents: ``None`` pushes the 3
+    coordinate basis tangents (K=3, u_dots = the spatial gradient);
+    a ``[3, T]`` array pushes ONE tangent along that per-point direction
+    (K=1, u_dots = the directional derivative). The single-direction mode
+    is what the Pallas backward kernel uses: the gradient cotangent dg
+    fixes one direction per point, so its VJP only needs a 2T-wide
+    stacked matmul instead of 4T.
     """
     n = statics.num_instances
     t = pos_t.shape[1]
+    k_tangents = 3 if dirs is None else 1
 
     px = jnp.tile(pos_t[0:1], (n, 1))                          # [N, T]
     py = jnp.tile(pos_t[1:2], (n, 1))
@@ -482,16 +492,26 @@ def scene_eval_stacked_t(pos_t, locations, rotations, half_dims, valid,
         for c in range(3)
     )
     ones_nt = jnp.ones((n, t), pos_t.dtype)
-    t_local = tuple(
-        tuple(col(j, c) * ones_nt for c in range(3)) for j in range(3)
-    )  # t_local[j][c] : [N, T]
+    if dirs is None:
+        t_local = tuple(
+            tuple(col(j, c) * ones_nt for c in range(3)) for j in range(3)
+        )  # t_local[k][c] : [N, T]
+    else:
+        v = tuple(jnp.tile(dirs[j : j + 1], (n, 1)) for j in range(3))
+        t_local = (
+            tuple(
+                v[0] * col(0, c) + v[1] * col(1, c) + v[2] * col(2, c)
+                for c in range(3)
+            ),
+        )
 
     sign_l = tuple(jnp.sign(l) for l in local)
     q = tuple(
         jnp.abs(local[c]) - half_dims[:, c : c + 1] for c in range(3)
     )
     t_q = tuple(
-        tuple(sign_l[c] * t_local[j][c] for c in range(3)) for j in range(3)
+        tuple(sign_l[c] * t_local[j][c] for c in range(3))
+        for j in range(k_tangents)
     )
 
     relu_q = tuple(jax.nn.relu(qc) for qc in q)
@@ -501,7 +521,7 @@ def scene_eval_stacked_t(pos_t, locations, rotations, half_dims, valid,
     t_outside = tuple(
         (relu_q[0] * t_q[j][0] + relu_q[1] * t_q[j][1] + relu_q[2] * t_q[j][2])
         / outside
-        for j in range(3)
+        for j in range(k_tangents)
     )
 
     m1 = jnp.maximum(q[0], q[1])
@@ -510,12 +530,12 @@ def scene_eval_stacked_t(pos_t, locations, rotations, half_dims, valid,
     pick2 = q_max > m1
     t_max = tuple(
         jnp.where(pick2, t_q[j][2], jnp.where(pick01, t_q[j][0], t_q[j][1]))
-        for j in range(3)
+        for j in range(k_tangents)
     )
     inside_gate = (q_max < 0.0).astype(pos_t.dtype)
 
     distances = outside - jax.nn.relu(-q_max)                   # [N, T]
-    t_dist = [t_outside[j] + inside_gate * t_max[j] for j in range(3)]
+    t_dist = [t_outside[j] + inside_gate * t_max[j] for j in range(k_tangents)]
 
     if statics.use_rdf:
         inv_scale = 1.0 / statics.position_scale
@@ -528,11 +548,12 @@ def scene_eval_stacked_t(pos_t, locations, rotations, half_dims, valid,
                 t_local[j][1] * inv_scale,
                 t_local[j][2] * inv_scale,
             )
-            for j in range(3)
+            for j in range(k_tangents)
         )
 
         # channel-major slabs: rows c*N+n; order (k, cos/sin, dim)
-        chunks, t_chunks = [], [[], [], []]
+        chunks = []
+        t_chunks = [[] for _ in range(k_tangents)]
         for k in range(statics.num_frequencies):
             f = math.pi * (2.0**k)
             for d in range(3):
@@ -540,7 +561,7 @@ def scene_eval_stacked_t(pos_t, locations, rotations, half_dims, valid,
                 c_, s_ = jnp.cos(phase), jnp.sin(phase)
                 chunks.append(c_)
                 chunks.append(s_)
-                for j in range(3):
+                for j in range(k_tangents):
                     t_chunks[j].append(-s_ * (f * t_sym[j][d]))
                     t_chunks[j].append(c_ * (f * t_sym[j][d]))
         x = jnp.concatenate(chunks, axis=0)                     # [48N, T]
@@ -587,7 +608,7 @@ def scene_eval_stacked_t(pos_t, locations, rotations, half_dims, valid,
                 jnp.concatenate([tx, jnp.zeros((n, t), x.dtype)], axis=0)
                 for tx in t_x
             )
-            stacked = jnp.concatenate([x_h, *t_h], axis=1)      # [(C+1)N, 4T]
+            stacked = jnp.concatenate([x_h, *t_h], axis=1)      # [(C+1)N, (K+1)T]
             precision = (
                 jax.lax.Precision.HIGHEST
                 if statics.matmul_precision == "highest"
@@ -598,9 +619,11 @@ def scene_eval_stacked_t(pos_t, locations, rotations, half_dims, valid,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 precision=precision,
                 preferred_element_type=jnp.float32,
-            )                                                    # [C_out*N, 4T]
+            )                                                    # [C_out*N, (K+1)T]
             x = out[:, :t]
-            t_x = tuple(out[:, (j + 1) * t : (j + 2) * t] for j in range(3))
+            t_x = tuple(
+                out[:, (j + 1) * t : (j + 2) * t] for j in range(k_tangents)
+            )
 
         raw = x                                                  # [N, T]
         sig = jax.nn.sigmoid(raw - 1.0)
@@ -613,14 +636,43 @@ def scene_eval_stacked_t(pos_t, locations, rotations, half_dims, valid,
     union = jnp.sum(distances * weights, axis=0, keepdims=True)  # [1, T]
 
     grads = []
-    for j in range(3):
+    for j in range(k_tangents):
         d_dot = t_dist[j]                                        # [N, T]
         mean_dot = jnp.sum(weights * d_dot, axis=0, keepdims=True)
         u_dot = mean_dot + jnp.sum(
             distances * weights * (mean_dot - d_dot), axis=0, keepdims=True
         ) / temperature
         grads.append(u_dot)
+    if k_tangents == 1:
+        return union, weights, grads[0]
     return union, weights, jnp.concatenate(grads, axis=0)
+
+
+def scene_eval_stacked_t(pos_t, locations, rotations, half_dims, valid,
+                         mats, temperature, statics: FieldStatics):
+    """(u [1, T], weights [N, T], grads [3, T]): spatial gradient via the
+    3 coordinate basis tangents. See `_scene_eval_stacked_core`."""
+    return _scene_eval_stacked_core(
+        pos_t, None, locations, rotations, half_dims, valid, mats,
+        temperature, statics,
+    )
+
+
+def scene_eval_stacked_dir_t(pos_t, dir_t, locations, rotations, half_dims,
+                             valid, mats, temperature,
+                             statics: FieldStatics):
+    """(u [1, T], weights [N, T], u_dot [1, T]): directional derivative of
+    the union SDF along the per-point direction ``dir_t [3, T]``.
+
+    By linearity of the JVP, ``u_dot = sum_j dir_j * (d u / d x_j)`` — so
+    VJP-ing this function with cotangent 1 on ``u_dot`` yields exactly the
+    parameter cotangents of the gradient output contracted with ``dir_t``,
+    at one tangent's cost instead of three.
+    """
+    return _scene_eval_stacked_core(
+        pos_t, dir_t, locations, rotations, half_dims, valid, mats,
+        temperature, statics,
+    )
 
 
 def scene_eval_stacked(positions, locations, rotations, half_dims, valid,

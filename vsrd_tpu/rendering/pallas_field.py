@@ -32,7 +32,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .fused_field import FieldStatics, scene_eval_stacked_t
+from .fused_field import (
+    FieldStatics,
+    scene_eval_stacked_dir_t,
+    scene_eval_stacked_t,
+)
 
 
 # Set True (e.g. in CPU tests) to run kernels in the Pallas interpreter.
@@ -87,15 +91,23 @@ def _bwd_kernel(statics, n_layers, pos_ref, loc_ref, rot_ref, half_ref,
     temperature = temp_ref[0]
     valid = valid_ref[:]
     layers = tuple(r[:] for r in layer_refs)
+    dg_t = dg_ref[:]                                             # [3, T]
 
+    # The gradient cotangent dg fixes ONE direction per point, so instead
+    # of VJP-ing the 3-basis-tangent forward (whose reverse pass pays
+    # second-order cost for all three tangents), recompute a single
+    # directional tangent along dg and VJP it with cotangent 1:
+    #   sum_j dg_j * d(grad_j)/d(theta) == d(D_dg u)/d(theta).
     def f(loc, rot, half, layers):
-        return scene_eval_stacked_t(
-            pos_t, loc, rot, half, valid, layers, temperature, statics
+        return scene_eval_stacked_dir_t(
+            pos_t, dg_t, loc, rot, half, valid, layers, temperature, statics
         )
 
-    _, vjp_fn = jax.vjp(f, loc_ref[:], rot_ref[:], half_ref[:], layers)
+    (u, _, u_dot), vjp_fn = jax.vjp(
+        f, loc_ref[:], rot_ref[:], half_ref[:], layers
+    )
     dloc, drot, dhalf, dlayers = vjp_fn(
-        (du_ref[:], dw_ref[:], dg_ref[:])
+        (du_ref[:], dw_ref[:], jnp.ones_like(u_dot))
     )
 
     step = pl.program_id(0)
@@ -126,7 +138,7 @@ def _const_spec(shape):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def fused_field_with_grad(statics: FieldStatics, tile: int, positions,
+def fused_field_with_grad(statics: FieldStatics, tile, positions,
                           locations, rotations, half_dims, valid, layers,
                           temperature):
     """(sdf [P], weights [P, N], grads [P, 3]) on TPU via Pallas.
@@ -134,9 +146,13 @@ def fused_field_with_grad(statics: FieldStatics, tile: int, positions,
     ``positions [P, 3]``; differentiable w.r.t. locations / rotations /
     half_dims / layer weights (positions and temperature are constants on
     this path, matching the optimization's stop-gradient ray sampling).
+
+    ``tile`` is the forward points-per-grid-step, or a ``(fwd, bwd)``
+    pair to size the backward (recompute) kernel's tile separately.
     """
+    fwd_tile = tile[0] if isinstance(tile, tuple) else tile
     return _fused_forward(
-        statics, tile, positions, locations, rotations, half_dims, valid,
+        statics, fwd_tile, positions, locations, rotations, half_dims, valid,
         layers, temperature,
     )
 
@@ -186,8 +202,9 @@ def _fused_forward(statics, tile, positions, locations, rotations, half_dims,
 
 def _fused_fwd_rule(statics, tile, positions, locations, rotations, half_dims,
                     valid, layers, temperature):
+    fwd_tile = tile[0] if isinstance(tile, tuple) else tile
     out = _fused_forward(
-        statics, tile, positions, locations, rotations, half_dims, valid,
+        statics, fwd_tile, positions, locations, rotations, half_dims, valid,
         layers, temperature,
     )
     residuals = (positions, locations, rotations, half_dims, valid, layers,
@@ -203,7 +220,9 @@ def _fused_bwd_rule(statics, tile, residuals, cotangents):
     # The recompute-vjp inside the kernel holds the tile's reverse-mode
     # residuals in VMEM, so the backward tile must be smaller — but only
     # when the hyper-MLP runs; the box-only (warmup) tile is tiny.
-    if statics.use_rdf:
+    if isinstance(tile, tuple):
+        tile = tile[1]
+    elif statics.use_rdf:
         tile = min(tile, 256)
     n = statics.num_instances
     valid2 = valid.reshape(n, 1)
