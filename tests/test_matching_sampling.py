@@ -60,6 +60,35 @@ class TestMultinomialNoReplacement:
         idx = np.asarray(sampling.multinomial_no_replacement(key, weights, 400))
         assert (idx >= 500).all()
 
+    def test_bucketed_matches_flat_exactly(self):
+        # sorted_logits enables the bucketed two-phase top-k; both paths
+        # add the SAME Gumbel noise (same key + shape), so absent a
+        # >k'-winners-per-bucket overflow (prob ~1e-15) the selected
+        # indices must be identical, in identical order.
+        rng = np.random.default_rng(3)
+        size = 1 << 18
+        logits = jnp.asarray(np.sort(rng.normal(size=size).astype(np.float32))[::-1].copy())
+        for seed in range(5):
+            key = jax.random.PRNGKey(seed)
+            flat = sampling.multinomial_logits(key, logits, 1000)
+            fast = sampling.multinomial_logits(
+                key, logits, 1000, sorted_logits=True
+            )
+            np.testing.assert_array_equal(np.asarray(flat), np.asarray(fast))
+
+    def test_bucketed_peaked_distribution(self):
+        # all the mass on the first 2000 ranks: the strided bucketing
+        # must still select only from them, exactly like the flat path
+        size = 1 << 18
+        logits = np.full(size, -np.inf, np.float32)
+        logits[:2000] = np.linspace(5.0, 0.0, 2000, dtype=np.float32)
+        logits = jnp.asarray(logits)
+        key = jax.random.PRNGKey(7)
+        flat = sampling.multinomial_logits(key, logits, 1000)
+        fast = sampling.multinomial_logits(key, logits, 1000, sorted_logits=True)
+        np.testing.assert_array_equal(np.asarray(flat), np.asarray(fast))
+        assert (np.asarray(fast) < 2000).all()
+
     def test_marginal_frequencies(self):
         # heavier items should be sampled proportionally more often
         keys = jax.random.split(jax.random.PRNGKey(2), 512)

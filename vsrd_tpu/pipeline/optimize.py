@@ -344,7 +344,7 @@ def compute_loss(
     # ---------------- silhouette rendering ----------------
     key_rays, key_render = jax.random.split(key)
     cand_idx = sampling.multinomial_logits(
-        key_rays, frame.candidate_weights, cfg.num_rays
+        key_rays, frame.candidate_weights, cfg.num_rays, sorted_logits=True
     )
     ray_idx = frame.candidate_indices[cand_idx]
     origins, directions = ray_directions_at(frame, ray_idx)
