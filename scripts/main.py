@@ -33,7 +33,7 @@ from vsrd_tpu.configuration.registry import instantiate  # noqa: E402
 from vsrd_tpu.data.kitti360 import KITTI360Dataset, align_to_target  # noqa: E402
 from vsrd_tpu.pipeline import frame as frame_mod  # noqa: E402
 from vsrd_tpu.pipeline import optimize as opt  # noqa: E402
-from vsrd_tpu.pipeline import render_image  # noqa: E402
+from vsrd_tpu.visualization import panels  # noqa: E402
 from vsrd_tpu.utils.meters import ProgressMeter, StopWatch  # noqa: E402
 from vsrd_tpu.utils.saver import Saver, has_final_checkpoint  # noqa: E402
 
@@ -163,17 +163,11 @@ def train(args):
                             f"scalars/{name}", float(values[offset]), base + offset
                         )
             if writer is not None and step % image_every == 0:
-                probs = np.asarray(
-                    render_image.render_instance_probabilities(
-                        params, frame, step - 1, cfg,
-                        view=int(frame.target_index),
-                    )
-                )
-                writer.add_image(
-                    "images/instance_probabilities",
-                    probs.max(axis=-1, keepdims=True).transpose(2, 0, 1),
-                    step,
-                )
+                # reference-grade diagnostics: GT masks/wireframes/ray
+                # dots per view, predicted masks/wireframes, BEV
+                # (reference main.py:955-1107)
+                pan = panels.diagnostic_panels(params, frame, step - 1, cfg)
+                panels.write_panels(writer, pan, step)
             meters.update(optimize=stop_watch.restart())
             logger.info(
                 f"[{image_filename}] step {step}/{cfg.num_steps} "

@@ -86,6 +86,10 @@ class OptimizationConfig:
     # 'default': one-pass bf16-multiply/f32-accumulate MXU matmuls in the
     # kernel (~4 mm SDF error, 4x faster); 'highest': exact f32
     pallas_matmul_precision: str = "default"
+    # parity/debug mode: midpoint quadrature + linspace importance
+    # samples instead of stratified jitter (matches the reference
+    # samplers' own deterministic modes, samplers.py:5-8,17-19)
+    deterministic: bool = False
 
     @property
     def position_scale(self) -> float:
@@ -121,6 +125,14 @@ def make_optimizer(cfg: OptimizationConfig, params_example) -> optax.GradientTra
     location/dimension/orientation at ``box_lr``, embeddings at
     ``embedding_lr``, hypernetwork at ``hypernetwork_lr``; torch
     ExponentialLR(gamma) applied every step.
+
+    torch.optim.Adam skips parameters whose grad is None, so in the
+    reference the embeddings/hypernetwork (first used after warmup,
+    main.py:525-527) start their Adam step count at the first
+    post-warmup step. Mirrored here with a per-group bias-correction
+    offset of ``warmup_steps`` — without it the first post-warmup
+    update of those groups is ~2x smaller and the trajectories diverge
+    from the reference immediately.
     """
 
     def lr_of(path):
@@ -131,20 +143,49 @@ def make_optimizer(cfg: OptimizationConfig, params_example) -> optax.GradientTra
             return cfg.embedding_lr
         return cfg.box_lr
 
+    def count_offset_of(path):
+        names = [getattr(p, "key", getattr(p, "idx", "")) for p in path]
+        if names[0] == "hyper" or names[1] == "embeddings":
+            return float(cfg.warmup_steps)
+        return 0.0
+
     lr_tree = jax.tree_util.tree_map_with_path(
         lambda path, leaf: lr_of(path), params_example
     )
-
-    adam = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
+    offset_tree = jax.tree_util.tree_map_with_path(
+        lambda path, leaf: count_offset_of(path), params_example
+    )
+    b1, b2, eps = 0.9, 0.999, 1e-8
 
     def init_fn(params):
-        return {"adam": adam.init(params), "count": jnp.zeros((), jnp.int32)}
+        zeros = jax.tree.map(jnp.zeros_like, params)
+        return {
+            "mu": zeros,
+            "nu": jax.tree.map(jnp.zeros_like, params),
+            "count": jnp.zeros((), jnp.int32),
+        }
 
     def update_fn(updates, state, params=None):
-        updates, adam_state = adam.update(updates, state["adam"], params)
-        decay = cfg.lr_decay ** state["count"].astype(jnp.float32)
-        updates = jax.tree.map(lambda u, lr: -u * lr * decay, updates, lr_tree)
-        return updates, {"adam": adam_state, "count": state["count"] + 1}
+        del params
+        count = state["count"]
+        mu = jax.tree.map(
+            lambda m, g: b1 * m + (1.0 - b1) * g, state["mu"], updates
+        )
+        nu = jax.tree.map(
+            lambda v, g: b2 * v + (1.0 - b2) * jnp.square(g),
+            state["nu"],
+            updates,
+        )
+        decay = cfg.lr_decay ** count.astype(jnp.float32)
+
+        def direction(m, v, lr, offset):
+            t = jnp.maximum(count.astype(jnp.float32) + 1.0 - offset, 1.0)
+            m_hat = m / (1.0 - b1**t)
+            v_hat = v / (1.0 - b2**t)
+            return -lr * decay * m_hat / (jnp.sqrt(v_hat) + eps)
+
+        updates = jax.tree.map(direction, mu, nu, lr_tree, offset_tree)
+        return updates, {"mu": mu, "nu": nu, "count": count + 1}
 
     return optax.GradientTransformation(init_fn, update_fn)
 
@@ -164,9 +205,16 @@ def _project_boxes_all_views(corners_world, frame: FrameData):
     return cam, boxes_2d
 
 
-def _masked_mean(values, mask, epsilon=1e-12):
+def _masked_mean(values, mask, epsilon=1e-12, axis_name=None):
+    """Mean over masked entries; with ``axis_name`` the numerator and
+    denominator are psum-ed over that mesh axis (ray-sharded mode)."""
     mask = mask.astype(values.dtype)
-    return jnp.sum(values * mask) / jnp.clip(jnp.sum(mask), min=epsilon)
+    num = jnp.sum(values * mask)
+    den = jnp.sum(mask)
+    if axis_name is not None:
+        num = jax.lax.psum(num, axis_name)
+        den = jax.lax.psum(den, axis_name)
+    return num / jnp.clip(den, min=epsilon)
 
 
 def _binary_cross_entropy(probs, targets, epsilon=1e-6):
@@ -181,12 +229,23 @@ def compute_loss(
     key: jax.Array,
     cfg: OptimizationConfig,
     use_rdf: bool,
+    ray_indices: jax.Array | None = None,
+    sp_axis: str | None = None,
 ):
     """One forward pass: projection + silhouette (+ eikonal) losses.
 
     ``use_rdf`` selects the post-warmup phase (residual field + eikonal,
     reference main.py:525-618,679-687) — a static flag so each phase
-    compiles only what it needs.
+    compiles only what it needs. ``ray_indices [R]`` optionally overrides
+    the per-step multinomial ray selection with a precomputed schedule
+    (flat (view, y, x) pixel indices) — used by the parity harness so the
+    torch reference and this pipeline render identical rays.
+
+    ``sp_axis`` enables ray sharding inside a `shard_map`: the (same-key,
+    replicated) ray draw is sliced per axis member, the renderer runs on
+    the local slice, and the silhouette/eikonal reductions are psum-ed —
+    ONE loss implementation serves both the single-chip and the dp x sp
+    sharded pipelines.
     """
     n = frame.max_instances
     decoded = box_parameters.decode_boxes(params["boxes"])
@@ -343,10 +402,19 @@ def compute_loss(
 
     # ---------------- silhouette rendering ----------------
     key_rays, key_render = jax.random.split(key)
-    cand_idx = sampling.multinomial_logits(
-        key_rays, frame.candidate_weights, cfg.num_rays, sorted_logits=True
-    )
-    ray_idx = frame.candidate_indices[cand_idx]
+    if ray_indices is None:
+        cand_idx = sampling.multinomial_logits(
+            key_rays, frame.candidate_weights, cfg.num_rays, sorted_logits=True
+        )
+        ray_idx = frame.candidate_indices[cand_idx]
+    else:
+        ray_idx = ray_indices
+    if sp_axis is not None:
+        local_rays = ray_idx.shape[0] // jax.lax.axis_size(sp_axis)
+        ray_idx = jax.lax.dynamic_slice_in_dim(
+            ray_idx, jax.lax.axis_index(sp_axis) * local_rays, local_rays
+        )
+        key_render = jax.random.fold_in(key_render, jax.lax.axis_index(sp_axis))
     origins, directions = ray_directions_at(frame, ray_idx)
 
     out = renderer.hierarchical_render(
@@ -358,6 +426,7 @@ def compute_loss(
         std,
         cosine_ratio,
         key=key_render,
+        deterministic=cfg.deterministic,
         field_with_grad=field_with_grad,
         field_with_grad_coarse=field_with_grad_coarse,
     )
@@ -367,7 +436,9 @@ def compute_loss(
     targets = jnp.take(targets, row_to_col, axis=-1)
     bce = _binary_cross_entropy(rendered, targets)
     silhouette_loss = _masked_mean(
-        bce, jnp.broadcast_to(frame.valid[None, :], bce.shape)
+        bce,
+        jnp.broadcast_to(frame.valid[None, :], bce.shape),
+        axis_name=sp_axis,
     )
 
     losses = {
@@ -378,7 +449,10 @@ def compute_loss(
 
     if use_rdf:
         grad_norms = jnp.linalg.norm(out.gradients, axis=-1)
-        losses["eikonal_loss"] = jnp.mean(jnp.square(grad_norms - 1.0))
+        sq = jnp.square(grad_norms - 1.0)
+        losses["eikonal_loss"] = _masked_mean(
+            sq, jnp.ones_like(sq, bool), axis_name=sp_axis
+        )
     else:
         losses["eikonal_loss"] = jnp.zeros(())
 
@@ -476,12 +550,16 @@ def compute_metrics(frame: FrameData, cam_corners_target, row_to_col):
     }
 
 
-def train_step(params, opt_state, frame, step, key, cfg, tx):
+def train_step(params, opt_state, frame, step, key, cfg, tx, ray_indices=None,
+               sp_axis=None):
     """One optimization step with the warmup phase switch."""
 
     def phase(use_rdf):
         def loss_fn(p):
-            return compute_loss(p, frame, step, key, cfg, use_rdf)
+            return compute_loss(
+                p, frame, step, key, cfg, use_rdf,
+                ray_indices=ray_indices, sp_axis=sp_axis,
+            )
 
         return jax.value_and_grad(loss_fn, has_aux=True)
 
