@@ -17,6 +17,76 @@ import jax
 import numpy as np
 
 
+def verify_kernels():
+    """Cross-check the COMPILED Pallas field kernels (forward + custom
+    VJP backward) against the pure-XLA stacked evaluator at HIGHEST
+    matmul precision on this backend. The CPU test suite only exercises
+    the kernels in interpreter mode; this catches Mosaic lowering
+    regressions on the real chip. Returns a dict of max abs errors."""
+    import jax.numpy as jnp
+
+    from vsrd_tpu.models import hyper_field  # noqa: F401  (weights layout)
+    from vsrd_tpu.rendering import fused_field as ff, pallas_field as pf
+
+    n = 8
+    rng = np.random.default_rng(0)
+    pos = jnp.asarray(rng.normal(size=(4096, 3)).astype(np.float32) * 20)
+    loc = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32) * 10)
+    angles = rng.uniform(-1, 1, n)
+    rot = jnp.asarray(
+        np.stack(
+            [
+                np.array(
+                    [[np.cos(a), 0, np.sin(a)], [0, 1, 0],
+                     [-np.sin(a), 0, np.cos(a)]],
+                    np.float32,
+                )
+                for a in angles
+            ]
+        )
+    )
+    half = jnp.asarray(rng.uniform(0.5, 2.0, size=(n, 3)).astype(np.float32))
+    valid = jnp.asarray([1.0] * 6 + [0.0] * 2)
+    w = jnp.asarray(rng.normal(size=(n, 1617)).astype(np.float32) * 0.3)
+    mats = ff.build_interleaved_layers(w)
+    statics = ff.FieldStatics(
+        num_instances=n, field_dtype=None, matmul_precision="highest"
+    )
+
+    def loss_kernel(loc, half, mats):
+        u, wts, g = pf.fused_field_with_grad(
+            statics, (1024, 512), pos, loc, rot, half, valid, mats, 0.5
+        )
+        return jnp.sum(u) + jnp.sum(wts[:, :2]) + jnp.sum(jnp.square(g)), (u, wts, g)
+
+    def loss_ref(loc, half, mats):
+        u, wts, g = ff.scene_eval_stacked(pos, loc, rot, half, valid, mats, 0.5, statics)
+        return jnp.sum(u) + jnp.sum(wts[:, :2]) + jnp.sum(jnp.square(g)), (u, wts, g)
+
+    (lk, (uk, wk, gk)), gradk = jax.jit(
+        jax.value_and_grad(loss_kernel, argnums=(0, 1, 2), has_aux=True)
+    )(loc, half, mats)
+    (lr, (ur, wr, gr)), gradr = jax.jit(
+        jax.value_and_grad(loss_ref, argnums=(0, 1, 2), has_aux=True)
+    )(loc, half, mats)
+
+    def err(a, b):
+        # relative to the reference's own scale: cotangents accumulate
+        # over all 4096 points, so absolute error scales with magnitude
+        scale = float(jnp.max(jnp.abs(b))) + 1e-12
+        return float(jnp.max(jnp.abs(a - b))) / max(scale, 1.0)
+
+    errors = {
+        "sdf": err(uk, ur),
+        "weights": err(wk, wr),
+        "spatial_grad": err(gk, gr),
+        "d_locations": err(gradk[0], gradr[0]),
+        "d_half_dims": err(gradk[1], gradr[1]),
+        "d_mats": max(err(a, b) for a, b in zip(gradk[2], gradr[2])),
+    }
+    return errors
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--views", type=int, default=17)
@@ -26,7 +96,21 @@ def main():
     parser.add_argument("--steps", type=int, default=3000)
     parser.add_argument("--quick", action="store_true",
                         help="1/10 scale for smoke testing")
+    parser.add_argument("--verify", action="store_true",
+                        help="compiled-kernel vs XLA cross-check only")
     args = parser.parse_args()
+
+    if args.verify:
+        errors = verify_kernels()
+        ok = all(v <= 2e-4 for v in errors.values())
+        print(json.dumps({
+            "metric": "pallas_kernel_max_rel_error",
+            "value": max(errors.values()),
+            "unit": "max rel err vs XLA-highest",
+            "vs_baseline": 1.0 if ok else 0.0,
+            "detail": {**errors, "backend": jax.default_backend(), "ok": ok},
+        }))
+        raise SystemExit(0 if ok else 1)
 
     from vsrd_tpu.pipeline import frame as fm, optimize as opt
 

@@ -71,6 +71,17 @@ def build_config(args) -> opt.OptimizationConfig:
         l1_projection_weight=weights.get("l1_projection_loss", 1.0),
         silhouette_weight=weights.get("silhouette_loss", 1.0),
         eikonal_weight=weights.get("eikonal_loss", 0.01),
+        photometric_weight=weights.get("photometric_loss", 0.0),
+        surface_num_rays=config.get("surface_rendering", {}).get("num_rays", 100),
+        surface_num_iterations=config.get("surface_rendering", {}).get(
+            "num_iterations", 1000
+        ),
+        surface_convergence_criteria=config.get("surface_rendering", {}).get(
+            "convergence_criteria", 0.01
+        ),
+        surface_bounding_radius=config.get("surface_rendering", {}).get(
+            "bounding_radius", 100.0
+        ),
         checkpoint_interval=config.get("logging", {}).get("ckpt_intervals", 500),
     ), config
 
@@ -136,7 +147,14 @@ def train(args):
         frame_kwargs = align_to_target(
             samples, max_instances=round_up_instances(num_instances)
         )
-        frame = frame_mod.build_frame_data(None, **frame_kwargs)
+        # images ride to the device only when the photometric branch can
+        # consume them (reference main.py:689: gated on the loss weight)
+        images = (
+            [samples[rel]["image"] for rel in sorted(samples.keys())]
+            if cfg.photometric_weight > 0.0
+            else None
+        )
+        frame = frame_mod.build_frame_data(images, **frame_kwargs)
 
         saver = Saver(ckpt_dirname)
         writer = SummaryWriter(log_dirname) if SummaryWriter else None
