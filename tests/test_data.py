@@ -133,6 +133,9 @@ class TestTransforms:
         for transform in [
             tf.FractalBrownianMotion(0.2, (4, 4), 0.5, 2, 2,
                                      rng=np.random.default_rng(0)),
+            tf.FastFractalBrownianMotion(0.2, (4, 4), 0.5, 2, 2,
+                                         downscale_factor=2,
+                                         rng=np.random.default_rng(0)),
             tf.RandomConvolution([3, 5], rng=np.random.default_rng(0)),
         ]:
             out = transform(sample)
@@ -201,6 +204,43 @@ class TestConfigurator:
         assert not (root / "config.json").exists()
         child_a = json.loads((root / "a" / "config.json").read_text())
         assert child_a == {"shared": {"k": 9}, "own": 1}
+
+
+class TestConfigureCLI:
+    """The gather/scatter refactoring CLI with snapshot-restore
+    (reference vsrd/configuration/configure.py:8-43)."""
+
+    def _tree(self, tmp_path):
+        root = tmp_path / "configs"
+        for name, extra in [("a", 1), ("b", 2)]:
+            child = root / name
+            child.mkdir(parents=True)
+            (child / "config.json").write_text(
+                json.dumps({"shared": {"k": 9}, "own": extra})
+            )
+        return root
+
+    def test_gather_via_cli(self, tmp_path):
+        from vsrd_tpu.configuration import configure
+
+        root = self._tree(tmp_path)
+        assert configure.run(str(root), gather=True)
+        parent = json.loads((root / "config.json").read_text())
+        assert parent == {"shared": {"k": 9}}
+
+    def test_failure_restores_tree(self, tmp_path, monkeypatch):
+        from vsrd_tpu.configuration import configure
+
+        root = self._tree(tmp_path)
+        before = (root / "a" / "config.json").read_text()
+
+        def boom(*args, **kwargs):
+            raise RuntimeError("synthetic failure")
+
+        monkeypatch.setattr(Configurator, "gather", boom)
+        assert not configure.run(str(root), gather=True)
+        assert (root / "a" / "config.json").read_text() == before
+        assert not (root / "config.json").exists()
 
 
 class TestRegistry:

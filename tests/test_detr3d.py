@@ -74,6 +74,71 @@ class TestDETR3D:
         # early steps churn through matching changes; compare phases
         assert np.mean(losses[-5:]) < np.mean(losses[:5])
 
+    def test_aux_outputs_and_losses(self):
+        # aux decoder losses: same heads applied to every intermediate
+        # decoder layer (reference detr.py:213-229)
+        model = detr3d.DETR3D(**{**SMALL, "num_decoder_layers": 3})
+        images, intrinsics, labels, boxes_2d, boxes_3d, valid = _batch()
+        params = model.init(jax.random.PRNGKey(0), images, intrinsics)
+        out = model.apply(params, images, intrinsics, aux_outputs=True)
+        assert len(out["aux_outputs"]) == 2  # layers 0..L-2
+        for aux in out["aux_outputs"]:
+            assert aux["logits"].shape == out["logits"].shape
+            assert aux["boxes_3d"].shape == out["boxes_3d"].shape
+        total_aux, scalars = detr3d.detr_loss(
+            out, labels, boxes_2d, boxes_3d, valid
+        )
+        assert "aux0_class_loss" in scalars and "aux1_box_loss" in scalars
+        out_plain = {k: v for k, v in out.items() if k != "aux_outputs"}
+        total_plain, _ = detr3d.detr_loss(
+            out_plain, labels, boxes_2d, boxes_3d, valid
+        )
+        assert float(total_aux) > float(total_plain)  # aux terms added
+
+    def test_deformable_reference_points_and_focal(self):
+        model = detr3d.DeformableDETR3D(**SMALL, num_samples=4)
+        images, intrinsics, labels, boxes_2d, boxes_3d, valid = _batch()
+        params = model.init(jax.random.PRNGKey(0), images, intrinsics)
+        out = model.apply(params, images, intrinsics, aux_outputs=True)
+        assert out["reference_points"].shape == (2, 8, 2)
+        assert ((out["reference_points"] >= 0) & (out["reference_points"] <= 1)).all()
+        loss, scalars = detr3d.detr_loss(
+            out, labels, boxes_2d, boxes_3d, valid, focal_matching=True
+        )
+        assert np.isfinite(float(loss))
+
+    def test_parameter_groups(self):
+        # per-subsystem groups mirror deformable_detr.py:209-305
+        model = detr3d.DeformableDETR3D(**SMALL, num_samples=4)
+        images, intrinsics, *_ = _batch()
+        params = model.init(jax.random.PRNGKey(0), images, intrinsics)
+        labels_tree = detr3d.parameter_group_labels(params)
+        groups = set(jax.tree.leaves(labels_tree))
+        assert {"backbone", "heads", "transformer", "reference_points"} <= groups
+        # sampling offsets live inside the deformable attention modules
+        flat = jax.tree_util.tree_flatten_with_path(labels_tree)[0]
+        sampling = [p for p, g in flat if g == "sampling_offsets"]
+        assert sampling, "no sampling_offsets parameters found"
+
+        tx = detr3d.make_param_group_optimizer(
+            {"backbone": 1e-5, "transformer": 1e-4, "heads": 1e-4,
+             "reference_points": 1e-5, "sampling_offsets": 1e-5}
+        )
+        opt_state = tx.init(params)
+        grads = jax.tree.map(jnp.ones_like, params)
+        updates, _ = tx.update(grads, opt_state, params)
+        # backbone updates scaled ~1e-5, heads ~1e-4
+        def first_leaf(tree, group):
+            for path, g in flat:
+                if g == group:
+                    leaf = updates
+                    for key in path:
+                        leaf = leaf[key.key]
+                    return np.abs(np.asarray(leaf)).max()
+            raise AssertionError(group)
+
+        assert first_leaf(updates, "backbone") < first_leaf(updates, "heads")
+
     def test_loss_respects_validity(self):
         model = detr3d.DETR3D(**SMALL)
         images, intrinsics, labels, boxes_2d, boxes_3d, valid = _batch()

@@ -177,3 +177,43 @@ class TestModelUtils:
         normalized = mu.spectral_normalize(w, num_iterations=30)
         sigma = np.linalg.svd(np.asarray(normalized), compute_uv=False)[0]
         assert sigma == pytest.approx(1.0, rel=1e-2)
+
+
+class TestNormFusion:
+    def test_fuse_post_norm_matches_composition(self):
+        # linear -> batchnorm(inference) == fused linear
+        rng = np.random.default_rng(0)
+        w = jnp.asarray(rng.normal(size=(6, 4)).astype(np.float32))
+        b = jnp.asarray(rng.normal(size=(6,)).astype(np.float32))
+        scale = jnp.asarray(rng.uniform(0.5, 2.0, 6).astype(np.float32))
+        bias = jnp.asarray(rng.normal(size=(6,)).astype(np.float32))
+        mean = jnp.asarray(rng.normal(size=(6,)).astype(np.float32))
+        var = jnp.asarray(rng.uniform(0.5, 2.0, 6).astype(np.float32))
+        eps = 1e-5
+
+        from vsrd_tpu.utils import model as mu
+
+        fw, fb = mu.fuse_post_norm(w, b, scale, bias, mean, var, eps)
+        x = jnp.asarray(rng.normal(size=(5, 4)).astype(np.float32))
+        y = x @ w.T + b
+        normed = (y - mean) * scale * jax.lax.rsqrt(var + eps) + bias
+        fused = x @ fw.T + fb
+        np.testing.assert_allclose(
+            np.asarray(fused), np.asarray(normed), rtol=1e-5, atol=1e-5
+        )
+
+    def test_bn_gn_conversions(self):
+        from vsrd_tpu.utils import model as mu
+
+        bn = {
+            "scale": jnp.arange(8.0) + 1.0,
+            "bias": jnp.arange(8.0),
+            "mean": jnp.zeros(8),
+            "var": jnp.ones(8),
+        }
+        gn = mu.batch_norm_to_group_norm_params(bn, group_size=4)
+        assert gn["num_groups"] == 2
+        np.testing.assert_array_equal(np.asarray(gn["scale"]), np.asarray(bn["scale"]))
+        back = mu.group_norm_to_batch_norm_params(gn)
+        np.testing.assert_array_equal(np.asarray(back["mean"]), np.zeros(8))
+        np.testing.assert_array_equal(np.asarray(back["var"]), np.ones(8))

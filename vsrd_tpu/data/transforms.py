@@ -353,6 +353,37 @@ class FractalBrownianMotion:
         return dict(sample, image=out)
 
 
+class FastFractalBrownianMotion(FractalBrownianMotion):
+    """FBM computed at 1/downscale_factor resolution and bilinearly
+    upsampled (reference photometric_transforms.py:106-123) — same noise
+    statistics at a fraction of the per-octave cost."""
+
+    def __init__(self, *args, downscale_factor, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.downscale_factor = downscale_factor
+
+    def __call__(self, sample):
+        image = sample["image"]
+        size = np.asarray(image.shape[:2])
+        small = np.maximum(size // self.downscale_factor, 1)
+        noise = sum(
+            self._perlin(
+                small,
+                self.amplitude * self.persistence**octave,
+                self.resolution * self.lacunarity**octave,
+            )
+            for octave in range(self.num_octaves)
+        )
+        noise = cv2.resize(
+            noise.astype(np.float32), (int(size[1]), int(size[0])),
+            interpolation=cv2.INTER_LINEAR,
+        )
+        out = np.clip(
+            image + noise[..., None] * self.rng.random(), 0.0, 1.0
+        ).astype(image.dtype)
+        return dict(sample, image=out)
+
+
 class RandomConvolution:
     """Random-kernel blur blended with the original
     (reference photometric_transforms.py:126-152)."""

@@ -116,8 +116,13 @@ class MultiHeadDeformableAttention(nn.Module):
         head = c // m
         b, n, _ = queries.shape
 
+        # named so per-subsystem parameter groups can target the offset
+        # predictors separately (reference deformable_detr.py:288-305)
         locations = jnp.tanh(
-            nn.Dense(self.num_samples * 2, use_bias=self.use_bias)(queries)
+            nn.Dense(
+                self.num_samples * 2, use_bias=self.use_bias,
+                name="sampling_offsets",
+            )(queries)
         ).reshape(b, n, self.num_samples, 2)
 
         q = nn.Dense(c, use_bias=self.use_bias)(queries)

@@ -70,3 +70,53 @@ def spectral_normalize(weight: jax.Array, num_iterations: int = 1,
     v = weight.T @ u
     sigma = jnp.linalg.norm(v)
     return weight / jnp.clip(sigma, min=epsilon)
+
+
+def fuse_post_norm(weight: jax.Array, bias, norm_scale, norm_bias,
+                   running_mean, running_var, epsilon: float = 1e-5):
+    """Fold a trailing (batch/instance) normalization into the preceding
+    conv/linear weights for inference.
+
+    Functional analogue of reference utils.py:458-514: given
+    ``y = norm(conv(x))`` with tracked ``running_mean/var``, returns
+    ``(fused_weight, fused_bias)`` such that a plain conv/linear with
+    them computes the same output, and the norm becomes identity.
+    ``weight`` has the output-channel axis first ([O, ...] — flax conv
+    kernels [kh, kw, I, O] should be moved to O-first before fusing).
+    """
+    gain = norm_scale * jax.lax.rsqrt(running_var + epsilon)   # [O]
+    shaped = gain.reshape((-1,) + (1,) * (weight.ndim - 1))
+    fused_weight = weight * shaped
+    if bias is None:
+        bias = jnp.zeros_like(running_mean)
+    fused_bias = norm_bias + (bias - running_mean) * gain
+    return fused_weight, fused_bias
+
+
+def batch_norm_to_group_norm_params(bn_params: dict, num_groups=None,
+                                    group_size=None) -> dict:
+    """BatchNorm param dict -> GroupNorm param dict, keeping the affine
+    scale/bias and dropping the tracked statistics (reference
+    utils.py:517-530 copies weight/bias only). ``bn_params`` uses flax
+    naming: {'scale', 'bias'} (+ optional 'mean'/'var', ignored)."""
+    channels = bn_params["scale"].shape[0]
+    assert (num_groups is None) != (group_size is None)
+    groups = num_groups if num_groups is not None else channels // group_size
+    assert channels % groups == 0, (channels, groups)
+    return {
+        "scale": bn_params["scale"],
+        "bias": bn_params["bias"],
+        "num_groups": groups,
+    }
+
+
+def group_norm_to_batch_norm_params(gn_params: dict) -> dict:
+    """GroupNorm param dict -> BatchNorm param dict with fresh neutral
+    statistics (reference utils.py:533-541)."""
+    channels = gn_params["scale"].shape[0]
+    return {
+        "scale": gn_params["scale"],
+        "bias": gn_params["bias"],
+        "mean": jnp.zeros((channels,), gn_params["scale"].dtype),
+        "var": jnp.ones((channels,), gn_params["scale"].dtype),
+    }
