@@ -28,6 +28,7 @@ SMALL = dict(num_queries=8, hidden_dim=32, num_encoder_layers=1,
 
 
 class TestDETR3D:
+    @pytest.mark.slow
     def test_forward_shapes(self):
         model = detr3d.DETR3D(**SMALL)
         images, intrinsics, *_ = _batch()
@@ -47,6 +48,7 @@ class TestDETR3D:
         out = model.apply(params, images, intrinsics)
         assert out["boxes_3d"].shape == (2, 8, 8, 3)
 
+    @pytest.mark.slow
     def test_loss_and_grad_step_improves(self):
         model = detr3d.DETR3D(**SMALL)
         images, intrinsics, labels, boxes_2d, boxes_3d, valid = _batch()
@@ -151,6 +153,7 @@ class TestDETR3D:
         assert float(aux_all["num_boxes"]) > float(aux_none["num_boxes"]) - 1
 
 
+@pytest.mark.slow
 def test_dp_training_step_on_mesh():
     if len(jax.devices()) < 4:
         pytest.skip("needs virtual devices")

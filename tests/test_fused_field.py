@@ -122,6 +122,7 @@ def test_pallas_kernel_interpret_forward(setup):
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_pallas_kernel_interpret_backward(setup):
     n, pos, loc, rot, half, valid, w = setup
     mats = ff.build_interleaved_layers(w)

@@ -184,6 +184,7 @@ def test_annotation_corner_reorder(annotations):
         np.testing.assert_allclose(got, expected, atol=1e-9)
 
 
+@pytest.mark.slow
 def test_full_lifecycle_from_raw(annotations, raw_root):
     """make_annotations output feeds the whole pseudo-label pipeline."""
     import jax

@@ -63,6 +63,7 @@ def test_photometric_gradients_flow(photo_setup):
     assert total > 0.0  # surfel positions backprop into the boxes
 
 
+@pytest.mark.slow
 def test_optimize_frame_with_photometric(photo_setup):
     cfg, frame = photo_setup
     params, scalars = opt.optimize_frame(frame, jax.random.PRNGKey(3), cfg)

@@ -17,6 +17,7 @@ def tiny_frame():
     return fm.synthetic_frame(jax.random.PRNGKey(0), **TINY)
 
 
+@pytest.mark.slow
 def test_optimize_frame_runs_and_improves(tiny_frame):
     cfg = opt.OptimizationConfig(
         num_steps=40, warmup_steps=20, num_rays=64, num_samples=8,
@@ -32,6 +33,7 @@ def test_optimize_frame_runs_and_improves(tiny_frame):
         assert np.isfinite(np.asarray(leaf)).all()
 
 
+@pytest.mark.slow
 def test_checkpoint_callback_cadence(tiny_frame):
     cfg = opt.OptimizationConfig(
         num_steps=30, warmup_steps=10, num_rays=32, num_samples=8,
@@ -45,6 +47,7 @@ def test_checkpoint_callback_cadence(tiny_frame):
     assert seen == [10, 20, 30]
 
 
+@pytest.mark.slow
 def test_optimization_is_deterministic(tiny_frame):
     cfg = opt.OptimizationConfig(
         num_steps=10, warmup_steps=5, num_rays=32, num_samples=8,
@@ -78,6 +81,7 @@ def test_ray_directions_at_matches_full_grid(tiny_frame):
     )
 
 
+@pytest.mark.slow
 def test_sharded_step_matches_shapes():
     n_dev = len(jax.devices())
     if n_dev < 4:

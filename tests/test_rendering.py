@@ -148,6 +148,7 @@ class TestRenderer:
         assert np.isfinite(norms).all()
         assert np.median(np.abs(norms - 1.0)) < 0.1
 
+    @pytest.mark.slow
     def test_render_differentiable_wrt_scene(self):
         def loss_fn(loc_z):
             sc = _single_box_scene()

@@ -126,6 +126,7 @@ def test_sample_annotations_tool(kitti_root):
     assert len(rels.split(",")) >= 2
 
 
+@pytest.mark.slow
 def test_dataset_and_optimization_and_predictions(kitti_root):
     split = os.path.join(kitti_root, "filenames", "R50-N2-M8-B2", SEQUENCE)
     sampled = os.path.join(split, "sampled_image_filenames.txt")

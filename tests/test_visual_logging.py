@@ -30,6 +30,7 @@ def small_setup():
     return cfg, frame, params
 
 
+@pytest.mark.slow
 def test_panel_families_and_shapes(small_setup):
     cfg, frame, params = small_setup
     pan = panels.diagnostic_panels(

@@ -30,15 +30,19 @@ def multinomial_logits(
     """Gumbel top-k over precomputed log-weights.
 
     ``sorted_logits=True`` asserts the logits are in descending order
-    (as produced by the FrameData candidate top-k) and enables a
-    bucketed two-phase top-k that is ~8x faster on TPU than the flat
-    `lax.top_k` for large supports: ranks are strided across B=256
-    buckets (so each bucket holds an even spread of ranks and therefore
-    ~num_samples/B of the winners in expectation), per-bucket top-k'
-    runs on short rows, and a final top-k merges the B*k' survivors.
-    With k'=32 and ~4 expected winners per bucket, the probability that
-    any bucket holds >32 winners (the only inexactness) is ~1e-15 per
-    draw — astronomically below the sampler's own f32 noise floor.
+    along the last axis (as produced by the FrameData candidate top-k)
+    and enables a bucketed two-phase top-k that is ~8x faster on TPU
+    than the flat `lax.top_k` for large supports: ranks are strided
+    across B=256 buckets (so each bucket holds an even spread of ranks
+    and therefore ~num_samples/B of the winners in expectation),
+    per-bucket top-k' runs on short rows, and a final top-k merges the
+    B*k' survivors. With k'=32 and ~4 expected winners per bucket, the
+    probability that any bucket holds >32 winners (the only
+    inexactness) is ~1e-15 per draw — astronomically below the
+    sampler's own f32 noise floor.
+
+    ``logits`` may carry leading batch axes (e.g. a frame axis); the
+    draw is independent per row and returns ``[..., num_samples]``.
     """
     gumbel = jax.random.gumbel(key, logits.shape, logits.dtype)
     z = logits + gumbel
@@ -48,25 +52,28 @@ def multinomial_logits(
     size = logits.shape[-1]
     if (
         not sorted_logits
-        or logits.ndim != 1
         or size < 8 * buckets * kprime
         or num_samples > buckets * kprime
     ):
         _, indices = jax.lax.top_k(z, num_samples)
         return indices.astype(jnp.int32)
 
+    lead = z.shape[:-1]
     rows = -(-size // buckets)
     padded = rows * buckets
     if padded != size:
-        z = jnp.pad(z, (0, padded - size), constant_values=-jnp.inf)
+        pad = [(0, 0)] * (z.ndim - 1) + [(0, padded - size)]
+        z = jnp.pad(z, pad, constant_values=-jnp.inf)
     # bucket b holds ranks {b, b+B, b+2B, ...}
-    z2 = z.reshape(rows, buckets).T                    # [B, rows]
-    vals, cols = jax.lax.top_k(z2, kprime)             # [B, k']
+    z2 = jnp.swapaxes(z.reshape(*lead, rows, buckets), -1, -2)  # [..., B, rows]
+    vals, cols = jax.lax.top_k(z2, kprime)             # [..., B, k']
     flat_idx = cols.astype(jnp.int32) * buckets + jnp.arange(
         buckets, dtype=jnp.int32
     )[:, None]
-    _, sel = jax.lax.top_k(vals.reshape(-1), num_samples)
-    return flat_idx.reshape(-1)[sel]
+    _, sel = jax.lax.top_k(vals.reshape(*lead, -1), num_samples)
+    return jnp.take_along_axis(
+        flat_idx.reshape(*lead, -1), sel, axis=-1
+    )
 
 
 def multinomial_no_replacement(

@@ -80,11 +80,18 @@ class FrameData:
 
     @property
     def num_views(self) -> int:
-        return self.intrinsics.shape[0]
+        # negative indexing: FrameData may carry a leading frame axis
+        # (stacked co-optimized frames; see optimize.compute_loss)
+        return self.intrinsics.shape[-3]
 
     @property
     def max_instances(self) -> int:
-        return self.valid.shape[0]
+        return self.valid.shape[-1]
+
+    @property
+    def num_frames(self) -> int | None:
+        """Leading frame-axis size, or None for a single frame."""
+        return self.valid.shape[0] if self.valid.ndim == 2 else None
 
 
 def ray_directions_at(frame: FrameData, flat_indices: jax.Array):
@@ -101,7 +108,11 @@ def ray_directions_at(frame: FrameData, flat_indices: jax.Array):
 
     pix_h = jnp.stack([px, py, jnp.ones_like(px)], axis=-1)  # [R, 3]
     inv_p = frame.inv_projections[view]                       # [R, 3, 3]
-    directions = jnp.einsum("rij,rj->ri", inv_p, pix_h)
+    # elementwise mul + reduce instead of einsum: identical rounding with
+    # and without a leading frame axis (einsum contracts differently
+    # under vmap; the box-SDF *gradient* is discontinuous at facet
+    # boundaries, so even 1e-7 direction noise flips isolated samples)
+    directions = jnp.sum(inv_p * pix_h[..., None, :], axis=-1)
     directions = directions / jnp.clip(
         jnp.linalg.norm(directions, axis=-1, keepdims=True), min=1e-12
     )

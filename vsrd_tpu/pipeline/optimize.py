@@ -205,12 +205,14 @@ def _project_boxes_all_views(corners_world, frame: FrameData):
     return cam, boxes_2d
 
 
-def _masked_mean(values, mask, epsilon=1e-12, axis_name=None):
+def _masked_mean(values, mask, epsilon=1e-12, axis_name=None, axis=None):
     """Mean over masked entries; with ``axis_name`` the numerator and
-    denominator are psum-ed over that mesh axis (ray-sharded mode)."""
-    mask = mask.astype(values.dtype)
-    num = jnp.sum(values * mask)
-    den = jnp.sum(mask)
+    denominator are psum-ed over that mesh axis (ray-sharded mode).
+    ``axis`` restricts the reduction (e.g. ``(-2, -1)`` keeps a leading
+    frame axis); default reduces everything."""
+    mask = jnp.broadcast_to(mask, values.shape).astype(values.dtype)
+    num = jnp.sum(values * mask, axis=axis)
+    den = jnp.sum(mask, axis=axis)
     if axis_name is not None:
         num = jax.lax.psum(num, axis_name)
         den = jax.lax.psum(den, axis_name)
@@ -246,33 +248,59 @@ def compute_loss(
     the local slice, and the silhouette/eikonal reductions are psum-ed —
     ONE loss implementation serves both the single-chip and the dp x sp
     sharded pipelines.
+
+    Batched mode: when ``frame`` carries a leading frame axis (stacked
+    co-optimized frames, params with matching leading axis), the
+    per-frame blocks run under `vmap` and the field evaluation runs as
+    ONE Pallas kernel with a frame grid axis — the returned ``total``
+    is then a per-frame vector ``[F]`` (sum it for the gradient; each
+    frame's params only receive gradients from its own loss).
     """
+    batched = frame.valid.ndim == 2
     n = frame.max_instances
-    decoded = box_parameters.decode_boxes(params["boxes"])
-    corners_world = decoded["boxes_3d"]  # [N, 8, 3]
 
-    cam_corners, pd_boxes_2d = _project_boxes_all_views(corners_world, frame)
+    def _frame_projection(boxes_params, frame):
+        decoded = box_parameters.decode_boxes(boxes_params)
+        corners_world = decoded["boxes_3d"]  # [N, 8, 3]
 
-    # ---------------- bipartite matching (target view) ----------------
-    pd_flat = pd_boxes_2d[frame.target_index].reshape(n, 4)
-    gt_flat = frame.gt_boxes_2d[frame.target_index].reshape(n, 4)
-    cost = -iou2d.distance_box_iou(pd_flat, gt_flat)
-    row_to_col = matching.masked_linear_sum_assignment(
-        jax.lax.stop_gradient(cost), frame.valid, frame.valid
+        cam_corners, pd_boxes_2d = _project_boxes_all_views(
+            corners_world, frame
+        )
+
+        # -------------- bipartite matching (target view) --------------
+        pd_flat = pd_boxes_2d[frame.target_index].reshape(n, 4)
+        gt_flat = frame.gt_boxes_2d[frame.target_index].reshape(n, 4)
+        cost = -iou2d.distance_box_iou(pd_flat, gt_flat)
+        row_to_col = matching.masked_linear_sum_assignment(
+            jax.lax.stop_gradient(cost), frame.valid, frame.valid
+        )
+
+        # -------------- projection losses over all views --------------
+        gt_matched = jnp.take(frame.gt_boxes_2d, row_to_col, axis=1)
+        vis_matched = jnp.take(frame.visible, row_to_col, axis=1)
+        pair_mask = vis_matched & frame.valid[None, :]
+
+        pd_xyxy = pd_boxes_2d.reshape(-1, n, 4)
+        gt_xyxy = gt_matched.reshape(-1, n, 4)
+        iou_loss = _masked_mean(
+            iou2d.distance_box_iou_loss(pd_xyxy, gt_xyxy), pair_mask
+        )
+        l1 = iou2d.smooth_l1(pd_xyxy, gt_xyxy)
+        l1_loss = _masked_mean(
+            l1, pair_mask[..., None] & jnp.ones_like(l1, bool)
+        )
+        return (
+            decoded,
+            cam_corners[frame.target_index],
+            row_to_col,
+            iou_loss,
+            l1_loss,
+        )
+
+    proj_fn = jax.vmap(_frame_projection) if batched else _frame_projection
+    decoded, cam_corners_target, row_to_col, iou_loss, l1_loss = proj_fn(
+        params["boxes"], frame
     )
-
-    # ---------------- projection losses over all views ----------------
-    gt_matched = jnp.take(frame.gt_boxes_2d, row_to_col, axis=1)  # [V, N, 2, 2]
-    vis_matched = jnp.take(frame.visible, row_to_col, axis=1)     # [V, N]
-    pair_mask = vis_matched & frame.valid[None, :]
-
-    pd_xyxy = pd_boxes_2d.reshape(-1, n, 4)
-    gt_xyxy = gt_matched.reshape(-1, n, 4)
-    iou_loss = _masked_mean(
-        iou2d.distance_box_iou_loss(pd_xyxy, gt_xyxy), pair_mask
-    )
-    l1 = iou2d.smooth_l1(pd_xyxy, gt_xyxy)
-    l1_loss = _masked_mean(l1, pair_mask[..., None] & jnp.ones_like(l1, bool))
 
     # ---------------- annealing ----------------
     progress = step.astype(jnp.float32) / cfg.num_steps
@@ -287,9 +315,11 @@ def compute_loss(
     # ---------------- scene field ----------------
     field_weights = None
     if use_rdf:
-        field_weights = hyper_field.hypernetwork_apply(
-            params["hyper"], decoded["embeddings"]
+        apply_fn = (
+            jax.vmap(hyper_field.hypernetwork_apply) if batched
+            else hyper_field.hypernetwork_apply
         )
+        field_weights = apply_fn(params["hyper"], decoded["embeddings"])
 
     use_pallas = cfg.use_pallas and pallas_field.pallas_supported()
     field = None
@@ -318,29 +348,39 @@ def compute_loss(
             widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
             return jnp.pad(x, widths, constant_values=fill)
 
-        locations_p = pad_rows(decoded["locations"])
-        rotations_p = (
-            decoded["orientations"]
-            if pad == 0
-            else jnp.concatenate(
-                [
-                    decoded["orientations"],
-                    jnp.broadcast_to(jnp.eye(3), (pad, 3, 3)),
-                ],
-                axis=0,
+        def _scene_inputs(decoded_f, valid_bool, field_weights_f):
+            locations_p = pad_rows(decoded_f["locations"])
+            rotations_p = (
+                decoded_f["orientations"]
+                if pad == 0
+                else jnp.concatenate(
+                    [
+                        decoded_f["orientations"],
+                        jnp.broadcast_to(jnp.eye(3), (pad, 3, 3)),
+                    ],
+                    axis=0,
+                )
             )
-        )
-        dimensions_p = pad_rows(decoded["dimensions"], fill=1.0)
-        valid_f = pad_rows(frame.valid.astype(jnp.float32))
+            dimensions_p = pad_rows(decoded_f["dimensions"], fill=1.0)
+            valid_f = pad_rows(valid_bool.astype(jnp.float32))
+            layers = (
+                fused_field.build_interleaved_layers(
+                    pad_rows(field_weights_f),
+                    in_channels=3 * cfg.num_frequencies * 2,
+                    out_channels_list=cfg.field_channels,
+                )
+                if use_rdf
+                else ()
+            )
+            return locations_p, rotations_p, dimensions_p, valid_f, layers
 
-        layers = (
-            fused_field.build_interleaved_layers(
-                pad_rows(field_weights),
-                in_channels=3 * cfg.num_frequencies * 2,
-                out_channels_list=cfg.field_channels,
-            )
-            if use_rdf
-            else ()
+        inputs_fn = (
+            jax.vmap(_scene_inputs, in_axes=(0, 0, 0 if use_rdf else None))
+            if batched
+            else _scene_inputs
+        )
+        locations_p, rotations_p, dimensions_p, valid_f, layers = inputs_fn(
+            decoded, frame.valid, field_weights
         )
 
         tile = (
@@ -350,11 +390,12 @@ def compute_loss(
         )
 
         def field_with_grad(positions):
-            shape = positions.shape[:-1]
+            shape = positions.shape[:-1]     # (F, R, S) or (R, S)
+            lead = shape[:1] if batched else ()
             u, w, g = pallas_field.fused_field_with_grad(
                 statics,
                 tile,
-                positions.reshape(-1, 3),
+                positions.reshape(*lead, -1, 3),
                 locations_p,
                 rotations_p,
                 dimensions_p,
@@ -364,7 +405,7 @@ def compute_loss(
             )
             return (
                 u.reshape(shape),
-                w[:, :n].reshape(*shape, n),
+                w[..., :n].reshape(*shape, n),
                 g.reshape(*shape, 3),
             )
 
@@ -375,30 +416,65 @@ def compute_loss(
 
     else:
         field_with_grad_coarse = None
-        packed_weights = None
-        if use_rdf:
-            packed_weights = tuple(
+
+        def _packed(fw):
+            return tuple(
                 hyper_field.pack_block_diagonal(
-                    field_weights,
+                    fw,
                     in_channels=3 * cfg.num_frequencies * 2,
                     out_channels_list=cfg.field_channels,
                 )
             )
-        scene_params = scene.SceneParams(
-            locations=decoded["locations"],
-            rotations=decoded["orientations"],
-            half_dimensions=decoded["dimensions"],
-            valid=frame.valid,
-            packed_weights=packed_weights,
-            field_dtype=jnp.dtype(cfg.field_dtype) if cfg.field_dtype else None,
-        )
-        field = scene.soft_scene_field(
-            scene_params,
-            temperature,
-            cfg.position_scale,
-            cfg.num_frequencies,
-            cfg.field_channels,
-        )
+
+        field_dtype = jnp.dtype(cfg.field_dtype) if cfg.field_dtype else None
+
+        def _make_field(loc, rot, half, val, packed):
+            scene_params = scene.SceneParams(
+                locations=loc,
+                rotations=rot,
+                half_dimensions=half,
+                valid=val,
+                packed_weights=packed,
+                field_dtype=field_dtype,
+            )
+            return scene.soft_scene_field(
+                scene_params,
+                temperature,
+                cfg.position_scale,
+                cfg.num_frequencies,
+                cfg.field_channels,
+            )
+
+        if batched:
+            packed_b = (
+                jax.vmap(_packed)(field_weights) if use_rdf else None
+            )
+
+            def field(positions):   # [F, ..., 3]
+                def one(loc, rot, half, val, packed, pos):
+                    return _make_field(loc, rot, half, val, packed)(pos)
+
+                return jax.vmap(
+                    one,
+                    in_axes=(0, 0, 0, 0, 0 if use_rdf else None, 0),
+                )(
+                    decoded["locations"],
+                    decoded["orientations"],
+                    decoded["dimensions"],
+                    frame.valid,
+                    packed_b,
+                    positions,
+                )
+
+        else:
+            packed_weights = _packed(field_weights) if use_rdf else None
+            field = _make_field(
+                decoded["locations"],
+                decoded["orientations"],
+                decoded["dimensions"],
+                frame.valid,
+                packed_weights,
+            )
 
     # ---------------- silhouette rendering ----------------
     key_rays, key_render = jax.random.split(key)
@@ -406,16 +482,22 @@ def compute_loss(
         cand_idx = sampling.multinomial_logits(
             key_rays, frame.candidate_weights, cfg.num_rays, sorted_logits=True
         )
-        ray_idx = frame.candidate_indices[cand_idx]
+        ray_idx = jnp.take_along_axis(
+            frame.candidate_indices, cand_idx, axis=-1
+        )
     else:
         ray_idx = ray_indices
     if sp_axis is not None:
-        local_rays = ray_idx.shape[0] // jax.lax.axis_size(sp_axis)
+        local_rays = ray_idx.shape[-1] // jax.lax.axis_size(sp_axis)
         ray_idx = jax.lax.dynamic_slice_in_dim(
-            ray_idx, jax.lax.axis_index(sp_axis) * local_rays, local_rays
+            ray_idx,
+            jax.lax.axis_index(sp_axis) * local_rays,
+            local_rays,
+            axis=-1,
         )
         key_render = jax.random.fold_in(key_render, jax.lax.axis_index(sp_axis))
-    origins, directions = ray_directions_at(frame, ray_idx)
+    rays_fn = jax.vmap(ray_directions_at) if batched else ray_directions_at
+    origins, directions = rays_fn(frame, ray_idx)
 
     out = renderer.hierarchical_render(
         field,
@@ -430,15 +512,25 @@ def compute_loss(
         field_with_grad=field_with_grad,
         field_with_grad_coarse=field_with_grad_coarse,
     )
-    rendered = out.features  # [R, N] per-ray instance probabilities
+    rendered = out.features  # [.., R, N] per-ray instance probabilities
 
-    targets = frame.soft_masks_flat[ray_idx].astype(rendered.dtype)  # [R, N]
-    targets = jnp.take(targets, row_to_col, axis=-1)
+    if batched:
+        targets = jax.vmap(lambda sm, ri: sm[ri])(
+            frame.soft_masks_flat, ray_idx
+        ).astype(rendered.dtype)                                 # [F, R, N]
+        targets = jnp.take_along_axis(
+            targets, row_to_col[:, None, :], axis=-1
+        )
+    else:
+        targets = frame.soft_masks_flat[ray_idx].astype(rendered.dtype)
+        targets = jnp.take(targets, row_to_col, axis=-1)
     bce = _binary_cross_entropy(rendered, targets)
+    # reduce over (rays, instances) only — a leading frame axis survives
     silhouette_loss = _masked_mean(
         bce,
-        jnp.broadcast_to(frame.valid[None, :], bce.shape),
+        frame.valid[..., None, :],
         axis_name=sp_axis,
+        axis=(-2, -1),
     )
 
     losses = {
@@ -447,20 +539,26 @@ def compute_loss(
         "silhouette_loss": silhouette_loss,
     }
 
+    zeros = jnp.zeros(frame.valid.shape[:-1])
     if use_rdf:
         grad_norms = jnp.linalg.norm(out.gradients, axis=-1)
         sq = jnp.square(grad_norms - 1.0)
         losses["eikonal_loss"] = _masked_mean(
-            sq, jnp.ones_like(sq, bool), axis_name=sp_axis
+            sq, jnp.ones_like(sq, bool), axis_name=sp_axis, axis=(-2, -1)
         )
     else:
-        losses["eikonal_loss"] = jnp.zeros(())
+        losses["eikonal_loss"] = zeros
 
     use_photometric = (
         cfg.photometric_weight > 0.0
         and use_rdf
         and frame.gray_images is not None
     )
+    if use_photometric and batched:
+        raise NotImplementedError(
+            "photometric loss is not supported for batched (stacked) "
+            "frames — co-optimize photometric configs one frame at a time"
+        )
     if use_photometric:
         from . import photometric as photometric_mod
 
@@ -500,7 +598,7 @@ def compute_loss(
             patch_size=cfg.surface_patch_size,
         )
     else:
-        losses["photometric_loss"] = jnp.zeros(())
+        losses["photometric_loss"] = zeros
 
     total = (
         cfg.iou_projection_weight * losses["iou_projection_loss"]
@@ -512,8 +610,9 @@ def compute_loss(
 
     aux = {
         "losses": losses,
+        "total": total,
         "row_to_col": row_to_col,
-        "cam_corners_target": cam_corners[frame.target_index],
+        "cam_corners_target": cam_corners_target,
         "temperature": temperature,
         "sdf_std_deviation": std,
     }
@@ -552,14 +651,22 @@ def compute_metrics(frame: FrameData, cam_corners_target, row_to_col):
 
 def train_step(params, opt_state, frame, step, key, cfg, tx, ray_indices=None,
                sp_axis=None):
-    """One optimization step with the warmup phase switch."""
+    """One optimization step with the warmup phase switch.
+
+    Works on a single frame or on stacked frames (leading frame axis on
+    ``frame``/``params``/``opt_state``): per-frame losses are summed for
+    the gradient (frames are independent, so each frame's params receive
+    exactly their own-frame gradient) and scalars keep the frame axis.
+    """
+    batched = frame.valid.ndim == 2
 
     def phase(use_rdf):
         def loss_fn(p):
-            return compute_loss(
+            total, aux = compute_loss(
                 p, frame, step, key, cfg, use_rdf,
                 ray_indices=ray_indices, sp_axis=sp_axis,
             )
+            return jnp.sum(total), aux
 
         return jax.value_and_grad(loss_fn, has_aux=True)
 
@@ -569,7 +676,7 @@ def train_step(params, opt_state, frame, step, key, cfg, tx, ray_indices=None,
     def post(p):
         return phase(True)(p)
 
-    (loss, aux), grads = jax.lax.cond(step >= cfg.warmup_steps, post, warm, params)
+    (_, aux), grads = jax.lax.cond(step >= cfg.warmup_steps, post, warm, params)
 
     updates, opt_state = tx.update(grads, opt_state, params)
     params = optax.apply_updates(params, updates)
@@ -578,17 +685,23 @@ def train_step(params, opt_state, frame, step, key, cfg, tx, ray_indices=None,
     # scalar_intervals steps) — the polygon clips are ~1 ms/step otherwise
     def with_metrics(args):
         corners, row_to_col = args
-        return compute_metrics(frame, corners, row_to_col)
+        fn = (
+            jax.vmap(lambda f, c, r: compute_metrics(f, c, r))
+            if batched
+            else compute_metrics
+        )
+        return fn(frame, corners, row_to_col)
 
     def without_metrics(args):
+        z = jnp.zeros(frame.valid.shape[:-1])
         return {
-            "iou_3d": jnp.zeros(()),
-            "iou_bev": jnp.zeros(()),
-            "accuracy_3d_25": jnp.zeros(()),
-            "accuracy_bev_25": jnp.zeros(()),
-            "accuracy_3d_50": jnp.zeros(()),
-            "accuracy_bev_50": jnp.zeros(()),
-            "num_matched": jnp.zeros(()),
+            "iou_3d": z,
+            "iou_bev": z,
+            "accuracy_3d_25": z,
+            "accuracy_bev_25": z,
+            "accuracy_3d_50": z,
+            "accuracy_bev_50": z,
+            "num_matched": z,
         }
 
     metrics = jax.lax.cond(
@@ -597,12 +710,13 @@ def train_step(params, opt_state, frame, step, key, cfg, tx, ray_indices=None,
         without_metrics,
         (aux["cam_corners_target"], aux["row_to_col"]),
     )
+    lead = frame.valid.shape[:-1]  # (F,) when batched, () otherwise
     scalars = {
-        "loss": loss,
+        "loss": aux["total"],
         **{k: v for k, v in aux["losses"].items()},
         **metrics,
-        "temperature": aux["temperature"],
-        "sdf_std_deviation": aux["sdf_std_deviation"],
+        "temperature": jnp.broadcast_to(aux["temperature"], lead),
+        "sdf_std_deviation": jnp.broadcast_to(aux["sdf_std_deviation"], lead),
     }
     return params, opt_state, scalars
 
@@ -656,6 +770,61 @@ def optimize_frame(
         size = min(chunk, cfg.num_steps - step)
         params, opt_state, scalars = optimize_chunk(
             params, opt_state, frame, key_run, jnp.asarray(step), cfg, size
+        )
+        all_scalars.append(jax.device_get(scalars))
+        step += size
+        if callback is not None:
+            callback(step, params, all_scalars[-1])
+
+    stacked = jax.tree.map(lambda *xs: np.concatenate(xs), *all_scalars)
+    return params, stacked
+
+
+def init_params_batched(key: jax.Array, num_frames: int, max_instances: int,
+                        cfg: OptimizationConfig):
+    """Independent per-frame params stacked along a leading frame axis."""
+    keys = jax.random.split(key, num_frames)
+    return jax.vmap(lambda k: init_params(k, max_instances, cfg))(keys)
+
+
+def optimize_frames_batched(
+    frames: FrameData,
+    key: jax.Array,
+    cfg: OptimizationConfig = OptimizationConfig(),
+    callback=None,
+):
+    """Co-optimize ``F`` stacked frames on one chip.
+
+    The frames are independent (the reference shards frames across GPUs,
+    README.md:128); batching them through ONE jitted scan + ONE Pallas
+    kernel with a frame grid axis amortizes the per-step glue (sampling,
+    matching, optimizer) across frames — per-frame wall clock drops well
+    below the single-frame path. ``frames`` is a stacked FrameData
+    (``sharded.stack_frames``); scalars come back with shape
+    ``[steps, F]``.
+
+    Equivalence note: on CPU the batched path reproduces per-frame runs
+    bit-exactly (tests/test_batched.py). On TPU, batched matmuls in the
+    hypernetwork round differently at the ~1e-7 level, which can flip an
+    inverse-CDF bin in the hierarchical resampling and move isolated
+    fine samples — per-loss deltas stay at the 1e-3 level, the same
+    order as any op-reordering noise.
+    """
+    num_frames = frames.valid.shape[0]
+    key_init, key_run = jax.random.split(key)
+    params = init_params_batched(
+        key_init, num_frames, frames.max_instances, cfg
+    )
+    tx = make_optimizer(cfg, params)
+    opt_state = tx.init(params)
+
+    chunk = cfg.checkpoint_interval
+    all_scalars = []
+    step = 0
+    while step < cfg.num_steps:
+        size = min(chunk, cfg.num_steps - step)
+        params, opt_state, scalars = optimize_chunk(
+            params, opt_state, frames, key_run, jnp.asarray(step), cfg, size
         )
         all_scalars.append(jax.device_get(scalars))
         step += size

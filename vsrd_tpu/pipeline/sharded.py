@@ -52,18 +52,17 @@ def make_sharded_train_step(mesh: Mesh, cfg: opt_mod.OptimizationConfig):
     def shard_body(params_b, opt_b, frames_b, step, key):
         tx = opt_mod.make_optimizer(cfg, params_b)
 
-        def one(params, opt_state, frame, frame_id):
-            frame_key = jax.random.fold_in(key, frame_id)
-            step_key = jax.random.fold_in(frame_key, step)
-            return opt_mod.train_step(
-                params, opt_state, frame, step, step_key, cfg, tx,
-                sp_axis="sp",
-            )
-
+        # train_step handles the local frame batch natively (one Pallas
+        # kernel with a frame grid axis — `vmap` of the kernel builds a
+        # module the TPU compile service rejects). Stochastic draws are
+        # shaped [local_F, ...] under a rank-folded key, so they stay
+        # independent across frames and dp ranks.
         dp_rank = jax.lax.axis_index("dp")
-        local_n = jax.tree.leaves(params_b)[0].shape[0]
-        frame_ids = dp_rank * local_n + jnp.arange(local_n)
-        return jax.vmap(one)(params_b, opt_b, frames_b, frame_ids)
+        step_key = jax.random.fold_in(jax.random.fold_in(key, dp_rank), step)
+        return opt_mod.train_step(
+            params_b, opt_b, frames_b, step, step_key, cfg, tx,
+            sp_axis="sp",
+        )
 
     from jax.experimental.shard_map import shard_map
 

@@ -79,8 +79,8 @@ def _fwd_kernel(statics, pos_ref, loc_ref, rot_ref, half_ref, valid_ref,
     w_ref[:] = weights
 
 
-def _bwd_kernel(statics, n_layers, pos_ref, loc_ref, rot_ref, half_ref,
-                valid_ref, temp_ref, *rest):
+def _bwd_kernel(statics, n_layers, tile_axis, pos_ref, loc_ref, rot_ref,
+                half_ref, valid_ref, temp_ref, *rest):
     # rest layout: [*layers] [du dg dw] [dloc drot dhalf *dlayers]
     layer_refs = rest[:n_layers]
     du_ref, dg_ref, dw_ref = rest[n_layers : n_layers + 3]
@@ -110,7 +110,7 @@ def _bwd_kernel(statics, n_layers, pos_ref, loc_ref, rot_ref, half_ref,
         (du_ref[:], dw_ref[:], jnp.ones_like(u_dot))
     )
 
-    step = pl.program_id(0)
+    step = pl.program_id(tile_axis)
 
     @pl.when(step == 0)
     def _():
@@ -137,6 +137,27 @@ def _const_spec(shape):
     )
 
 
+# Batched (frame-axis) specs: grid (F, tiles); the leading frame dim of
+# every operand is squeezed (block dim None) so the SAME kernel bodies
+# serve both the single-frame and the batched calls. The frame axis is
+# a real grid dimension instead of `vmap`-of-pallas_call because the
+# auto-batched module is rejected by the compile service at this kernel's
+# size (see NOTES.md).
+def _tile_spec_b(rows, tile):
+    return pl.BlockSpec(
+        (None, rows, tile), lambda f, i: (f, 0, i), memory_space=pltpu.VMEM
+    )
+
+
+def _const_spec_b(shape):
+    # per-frame constant: shape is the per-frame block (without F)
+    return pl.BlockSpec(
+        (None, *shape),
+        lambda f, i: (f,) + (0,) * len(shape),
+        memory_space=pltpu.VMEM,
+    )
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
 def fused_field_with_grad(statics: FieldStatics, tile, positions,
                           locations, rotations, half_dims, valid, layers,
@@ -149,6 +170,12 @@ def fused_field_with_grad(statics: FieldStatics, tile, positions,
 
     ``tile`` is the forward points-per-grid-step, or a ``(fwd, bwd)``
     pair to size the backward (recompute) kernel's tile separately.
+
+    Batched mode: ``positions [F, P, 3]`` with a matching leading frame
+    axis on locations/rotations/half_dims/valid/layers runs ONE kernel
+    with grid ``(F, tiles)`` (temperature stays scalar — co-optimized
+    frames share the annealing step). Returns ``(sdf [F, P], weights
+    [F, P, N], grads [F, P, 3])``.
     """
     fwd_tile = tile[0] if isinstance(tile, tuple) else tile
     return _fused_forward(
@@ -159,6 +186,11 @@ def fused_field_with_grad(statics: FieldStatics, tile, positions,
 
 def _fused_forward(statics, tile, positions, locations, rotations, half_dims,
                    valid, layers, temperature):
+    if positions.ndim == 3:
+        return _fused_forward_batched(
+            statics, tile, positions, locations, rotations, half_dims,
+            valid, layers, temperature,
+        )
     n = statics.num_instances
     pos_t, p_real = _pad_to(positions.T, tile, axis=1)           # [3, P]
     p = pos_t.shape[1]
@@ -200,6 +232,54 @@ def _fused_forward(statics, tile, positions, locations, rotations, half_dims,
     return u[0, :p_real], w[:, :p_real].T, g[:, :p_real].T
 
 
+def _fused_forward_batched(statics, tile, positions, locations, rotations,
+                           half_dims, valid, layers, temperature):
+    n = statics.num_instances
+    f = positions.shape[0]
+    pos_t, p_real = _pad_to(positions.transpose(0, 2, 1), tile, axis=2)
+    p = pos_t.shape[2]
+    grid = (f, p // tile)
+    valid = valid.reshape(f, n, 1)
+
+    temperature = jnp.asarray(temperature, jnp.float32).reshape(1)
+
+    out_shape = (
+        jax.ShapeDtypeStruct((f, 1, p), jnp.float32),
+        jax.ShapeDtypeStruct((f, 3, p), jnp.float32),
+        jax.ShapeDtypeStruct((f, n, p), jnp.float32),
+    )
+    out_specs = (
+        _tile_spec_b(1, tile),
+        _tile_spec_b(3, tile),
+        _tile_spec_b(n, tile),
+    )
+
+    in_specs = [
+        _tile_spec_b(3, tile),                  # positions (transposed)
+        _const_spec_b(locations.shape[1:]),
+        _const_spec_b(rotations.shape[1:]),
+        _const_spec_b(half_dims.shape[1:]),
+        _const_spec_b(valid.shape[1:]),
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # temperature
+        *[_const_spec_b(m.shape[1:]) for m in layers],
+    ]
+
+    u, g, w = pl.pallas_call(
+        functools.partial(_fwd_kernel, statics),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=INTERPRET,
+    )(pos_t, locations, rotations, half_dims, valid, temperature, *layers)
+
+    return (
+        u[:, 0, :p_real],
+        w[:, :, :p_real].transpose(0, 2, 1),
+        g[:, :, :p_real].transpose(0, 2, 1),
+    )
+
+
 def _fused_fwd_rule(statics, tile, positions, locations, rotations, half_dims,
                     valid, layers, temperature):
     fwd_tile = tile[0] if isinstance(tile, tuple) else tile
@@ -224,6 +304,13 @@ def _fused_bwd_rule(statics, tile, residuals, cotangents):
         tile = tile[1]
     elif statics.use_rdf:
         tile = min(tile, 256)
+
+    if positions.ndim == 3:
+        return _fused_bwd_batched(
+            statics, tile, positions, locations, rotations, half_dims,
+            valid, layers, temperature, du, dw, dg,
+        )
+
     n = statics.num_instances
     valid2 = valid.reshape(n, 1)
     pos_t, p_real = _pad_to(positions.T, tile, axis=1)
@@ -261,7 +348,7 @@ def _fused_bwd_rule(statics, tile, residuals, cotangents):
     ]
 
     outs = pl.pallas_call(
-        functools.partial(_bwd_kernel, statics, len(layers)),
+        functools.partial(_bwd_kernel, statics, len(layers), 0),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
@@ -269,6 +356,73 @@ def _fused_bwd_rule(statics, tile, residuals, cotangents):
         compiler_params=pltpu.CompilerParams(
             # the recompute-vjp residuals legitimately need more than the
             # conservative 16 MB default scoped budget
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=INTERPRET,
+    )(pos_t, locations, rotations, half_dims, valid2, temperature_arr,
+      *layers, du_t, dg_t, dw_t)
+
+    dloc, drot, dhalf, *dlayers = outs
+    dlayers = tuple(g.astype(m.dtype) for g, m in zip(dlayers, layers))
+    return (
+        jnp.zeros_like(positions),               # positions: not differentiated
+        dloc.astype(locations.dtype),
+        drot.astype(rotations.dtype),
+        dhalf.astype(half_dims.dtype),
+        jnp.zeros_like(valid),
+        dlayers,
+        jnp.zeros_like(jnp.asarray(temperature)),
+    )
+
+
+def _fused_bwd_batched(statics, tile, positions, locations, rotations,
+                       half_dims, valid, layers, temperature, du, dw, dg):
+    n = statics.num_instances
+    f = positions.shape[0]
+    valid2 = valid.reshape(f, n, 1)
+    pos_t, p_real = _pad_to(positions.transpose(0, 2, 1), tile, axis=2)
+    p = pos_t.shape[2]
+    du_t, _ = _pad_to(du[:, None, :], tile, axis=2)              # [F, 1, P]
+    dg_t, _ = _pad_to(dg.transpose(0, 2, 1), tile, axis=2)       # [F, 3, P]
+    dw_t, _ = _pad_to(dw.transpose(0, 2, 1), tile, axis=2)       # [F, N, P]
+    grid = (f, p // tile)
+
+    temperature_arr = jnp.asarray(temperature, jnp.float32).reshape(1)
+
+    out_shape = (
+        jax.ShapeDtypeStruct(locations.shape, jnp.float32),
+        jax.ShapeDtypeStruct(rotations.shape, jnp.float32),
+        jax.ShapeDtypeStruct(half_dims.shape, jnp.float32),
+        *[jax.ShapeDtypeStruct(m.shape, jnp.float32) for m in layers],
+    )
+    # param cotangents revisit their frame's block across tile steps;
+    # zero-init fires at tile step 0 of each frame (program_id axis 1)
+    out_specs = (
+        _const_spec_b(locations.shape[1:]),
+        _const_spec_b(rotations.shape[1:]),
+        _const_spec_b(half_dims.shape[1:]),
+        *[_const_spec_b(m.shape[1:]) for m in layers],
+    )
+    in_specs = [
+        _tile_spec_b(3, tile),                   # positions (transposed)
+        _const_spec_b(locations.shape[1:]),
+        _const_spec_b(rotations.shape[1:]),
+        _const_spec_b(half_dims.shape[1:]),
+        _const_spec_b(valid2.shape[1:]),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        *[_const_spec_b(m.shape[1:]) for m in layers],
+        _tile_spec_b(1, tile),                   # du
+        _tile_spec_b(3, tile),                   # dg
+        _tile_spec_b(n, tile),                   # dw
+    ]
+
+    outs = pl.pallas_call(
+        functools.partial(_bwd_kernel, statics, len(layers), 1),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=INTERPRET,
