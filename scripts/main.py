@@ -97,6 +97,90 @@ def make_dataset(config):
     )
 
 
+class _FrameJob:
+    """Per-frame host-side state for the (possibly batched) optimizer."""
+
+    def __init__(self, frame, image_filename, ckpt_dirname, log_dirname, key):
+        self.frame = frame
+        self.image_filename = image_filename
+        self.saver = Saver(ckpt_dirname)
+        self.writer = SummaryWriter(log_dirname) if SummaryWriter else None
+        self.key = key
+
+    def save_and_log(self, step, params, scalars, cfg, config, meters, logger):
+        """``params``/``scalars`` are this frame's slices (no frame axis)."""
+        scalar_every = config.get("logging", {}).get("scalar_intervals", 50)
+        image_every = config.get("logging", {}).get("image_intervals", 500)
+        self.saver.save(
+            f"step_{step - 1}",
+            step=np.asarray(step - 1),
+            models={"detector": jax.device_get(params["boxes"]),
+                    "hyper_distance_field": jax.device_get(params["hyper"])},
+            metrics={k: np.asarray(v[-1]) for k, v in scalars.items()},
+            valid=np.asarray(self.frame.valid),
+        )
+        base = step - len(scalars["loss"])
+        for offset in range(scalar_every - 1, len(scalars["loss"]), scalar_every):
+            for name, values in scalars.items():
+                if self.writer is not None:
+                    self.writer.add_scalar(
+                        f"scalars/{name}", float(values[offset]), base + offset
+                    )
+        if self.writer is not None and step % image_every == 0:
+            # reference-grade diagnostics: GT masks/wireframes/ray
+            # dots per view, predicted masks/wireframes, BEV
+            # (reference main.py:955-1107)
+            pan = panels.diagnostic_panels(params, self.frame, step - 1, cfg)
+            panels.write_panels(self.writer, pan, step)
+        logger.info(
+            f"[{self.image_filename}] step {step}/{cfg.num_steps} "
+            f"loss={float(scalars['loss'][-1]):.4f} "
+            f"iou_3d={float(scalars['iou_3d'][-1]):.4f} "
+            f"progress={meters.progress():.2%}"
+        )
+
+    def close(self):
+        if self.writer is not None:
+            self.writer.close()
+
+
+def _run_jobs(jobs, cfg, config, meters, stop_watch, logger):
+    """Optimize a bucket of equally-shaped frames (co-optimized when >1)."""
+    from vsrd_tpu.pipeline import sharded as sharded_mod
+
+    if not jobs:
+        return
+    if len(jobs) == 1:
+        job = jobs[0]
+
+        def callback(step, params, scalars):
+            meters.update(optimize=stop_watch.restart())
+            job.save_and_log(
+                step, params, scalars, cfg, config, meters, logger
+            )
+
+        opt.optimize_frame(job.frame, job.key, cfg, callback=callback)
+        job.close()
+        return
+
+    frames = sharded_mod.stack_frames([job.frame for job in jobs])
+
+    def callback(step, params, scalars):
+        meters.update(optimize=stop_watch.restart())
+        for f, job in enumerate(jobs):
+            params_f = jax.tree.map(lambda x: x[f], params)
+            scalars_f = {k: v[:, f] for k, v in scalars.items()}
+            job.save_and_log(
+                step, params_f, scalars_f, cfg, config, meters, logger
+            )
+
+    # co-optimized frames share one key: stochastic draws are shaped
+    # [F, ...], independent per frame (optimize.compute_loss batched)
+    opt.optimize_frames_batched(frames, jobs[0].key, cfg, callback=callback)
+    for job in jobs:
+        job.close()
+
+
 def train(args):
     cfg, config = build_config(args)
     logger = parallel.get_logger("vsrd_tpu.main", rank_zero_only=False)
@@ -109,12 +193,26 @@ def train(args):
         f"{len(indices)} of {len(dataset)} target frames"
     )
 
+    # frames_per_batch > 1 co-optimizes same-shape frames on one chip
+    # (one jitted scan, one field kernel with a frame grid axis)
+    frames_per_batch = int(
+        config.get("optimization", {}).get("frames_per_batch", 1)
+    )
+    if cfg.photometric_weight > 0.0 and frames_per_batch > 1:
+        logger.warning(
+            "photometric loss not supported with frames_per_batch>1; "
+            "falling back to per-frame optimization"
+        )
+        frames_per_batch = 1
+
     config_dirname = os.path.dirname(args.config)
     meters = ProgressMeter(len(indices) * cfg.num_steps)
     stop_watch = StopWatch()
     stop_watch.start()
     import time as _time
     run_start = _time.time()
+
+    pending = {}  # bucket key -> list of _FrameJob
 
     for index in indices:
         samples = dataset[int(index)]
@@ -156,52 +254,25 @@ def train(args):
         )
         frame = frame_mod.build_frame_data(images, **frame_kwargs)
 
-        saver = Saver(ckpt_dirname)
-        writer = SummaryWriter(log_dirname) if SummaryWriter else None
-        scalar_every = config.get("logging", {}).get("scalar_intervals", 50)
-        image_every = config.get("logging", {}).get("image_intervals", 500)
-
-        def callback(step, params, scalars):
-            saver.save(
-                f"step_{step - 1}",
-                step=np.asarray(step - 1),
-                models={"detector": jax.device_get(params["boxes"]),
-                        "hyper_distance_field": jax.device_get(params["hyper"])},
-                metrics={
-                    k: np.asarray(v[-1])
-                    for k, v in scalars.items()
-                },
-                valid=np.asarray(frame.valid),
-            )
-            base = step - len(scalars["loss"])
-            for offset in range(scalar_every - 1, len(scalars["loss"]), scalar_every):
-                for name, values in scalars.items():
-                    if writer is not None:
-                        writer.add_scalar(
-                            f"scalars/{name}", float(values[offset]), base + offset
-                        )
-            if writer is not None and step % image_every == 0:
-                # reference-grade diagnostics: GT masks/wireframes/ray
-                # dots per view, predicted masks/wireframes, BEV
-                # (reference main.py:955-1107)
-                pan = panels.diagnostic_panels(params, frame, step - 1, cfg)
-                panels.write_panels(writer, pan, step)
-            meters.update(optimize=stop_watch.restart())
-            logger.info(
-                f"[{image_filename}] step {step}/{cfg.num_steps} "
-                f"loss={float(scalars['loss'][-1]):.4f} "
-                f"iou_3d={float(scalars['iou_3d'][-1]):.4f} "
-                f"progress={meters.progress():.2%}"
-            )
-
         seed = config.get("random", {}).get("global_seed", 0)
         if config.get("random", {}).get("use_unique_seed", True):
             seed = seed + parallel.process_index()
         key = jax.random.fold_in(jax.random.PRNGKey(seed), int(index))
 
-        opt.optimize_frame(frame, key, cfg, callback=callback)
-        if writer is not None:
-            writer.close()
+        job = _FrameJob(frame, image_filename, ckpt_dirname, log_dirname, key)
+        bucket = (
+            frame.max_instances,
+            frame.num_views,
+            frame.image_size,
+        )
+        pending.setdefault(bucket, []).append(job)
+        if len(pending[bucket]) >= frames_per_batch:
+            _run_jobs(
+                pending.pop(bucket), cfg, config, meters, stop_watch, logger
+            )
+
+    for jobs in pending.values():
+        _run_jobs(jobs, cfg, config, meters, stop_watch, logger)
 
     logger.info(f"done in {_time.time() - run_start:.1f}s")
 

@@ -39,9 +39,12 @@ def main():
     parser.add_argument("--fwd-tile", type=int, default=None)
     parser.add_argument("--bwd-tile", type=int, default=None)
     parser.add_argument("--post-only", action="store_true")
+    parser.add_argument("--frames", type=int, default=1,
+                        help=">1: co-optimize F stacked frames")
     args = parser.parse_args()
 
     from vsrd_tpu.pipeline import frame as fm, optimize as opt
+    from vsrd_tpu.pipeline import sharded as sh
 
     overrides = {}
     if args.fwd_tile:
@@ -56,16 +59,26 @@ def main():
         checkpoint_interval=args.chunk,
         **overrides,
     )
-    frame = fm.synthetic_frame(
-        jax.random.PRNGKey(0),
-        num_views=args.views,
-        image_size=(376, 1408),
-        num_instances=args.instances,
-        max_instances=args.instances,
-    )
+    frames = [
+        fm.synthetic_frame(
+            jax.random.PRNGKey(i),
+            num_views=args.views,
+            image_size=(376, 1408),
+            num_instances=args.instances,
+            max_instances=args.instances,
+        )
+        for i in range(args.frames)
+    ]
+    if args.frames > 1:
+        frame = sh.stack_frames(frames)
+        params = opt.init_params_batched(
+            jax.random.PRNGKey(1), args.frames, args.instances, cfg
+        )
+    else:
+        frame = frames[0]
+        params = opt.init_params(jax.random.PRNGKey(1), args.instances, cfg)
     jax.block_until_ready(frame.soft_masks_flat)
 
-    params = opt.init_params(jax.random.PRNGKey(1), frame.max_instances, cfg)
     tx = opt.make_optimizer(cfg, params)
     opt_state = tx.init(params)
 
@@ -80,9 +93,11 @@ def main():
         jax.random.PRNGKey(2),
     )
     est = (1000 * warm_ms + 2000 * post_ms) / 1e3
+    per_frame = est / args.frames
     print(
-        f"warmup {warm_ms:.2f} ms/step  post-warmup {post_ms:.2f} ms/step  "
-        f"frame-estimate {est:.1f} s"
+        f"frames={args.frames}  warmup {warm_ms:.2f} ms/step  "
+        f"post-warmup {post_ms:.2f} ms/step  batch-estimate {est:.1f} s  "
+        f"per-frame {per_frame:.1f} s"
     )
 
 

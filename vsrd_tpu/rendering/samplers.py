@@ -62,15 +62,28 @@ def inverse_transform_sampler(
     # Batched searchsorted(side="left") as a dense comparison-count:
     # i = #\{cdf < u\}. A dense [S x K] reduction maps onto the VPU far
     # better than a per-ray binary search.
-    indices = jnp.sum(
-        (cdf[..., :, None] < uniform[..., None, :]).astype(jnp.int32), axis=-2
-    )
+    below = (cdf[..., :, None] < uniform[..., None, :]).astype(cdf.dtype)
+    indices = jnp.sum(below, axis=-2).astype(jnp.int32)
     indices = jnp.clip(indices, 1, cdf.shape[-1] - 1)
 
-    min_cdf = jnp.take_along_axis(cdf, indices - 1, axis=-1)
-    max_cdf = jnp.take_along_axis(cdf, indices, axis=-1)
-    min_bins = jnp.take_along_axis(bins, indices - 1, axis=-1)
-    max_bins = jnp.take_along_axis(bins, indices, axis=-1)
+    # Gather cdf/bins at i-1 and i via one-hot matmuls instead of
+    # take_along_axis: XLA lowers batched per-row gathers to ~1 ms
+    # fusions on TPU (4 of them dominated the whole sampling step),
+    # while the dense [K, S] x [S, 2] contraction is microseconds of
+    # VPU work on a tensor the comparison above already materialized.
+    oh_next = jax.nn.one_hot(indices, cdf.shape[-1], dtype=cdf.dtype)
+    oh_prev = jax.nn.one_hot(indices - 1, cdf.shape[-1], dtype=cdf.dtype)
+    stacked = jnp.stack([cdf, bins], axis=-1)               # [.., S, 2]
+    prev = jnp.einsum(
+        "...ks,...sc->...kc", oh_prev, stacked,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    nxt = jnp.einsum(
+        "...ks,...sc->...kc", oh_next, stacked,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    min_cdf, min_bins = prev[..., 0], prev[..., 1]
+    max_cdf, max_bins = nxt[..., 0], nxt[..., 1]
 
     t = (uniform - min_cdf) / (max_cdf - min_cdf + 1e-6)
     return min_bins + (max_bins - min_bins) * t
