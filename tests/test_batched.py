@@ -128,6 +128,23 @@ def test_optimize_frames_batched_runs(two_frames, det_cfg):
         assert np.isfinite(np.asarray(leaf)).all()
 
 
+def test_batched_metrics_fire_at_interval(two_frames):
+    """The vmapped compute_metrics branch runs at the metric cadence."""
+    cfg = opt.OptimizationConfig(
+        num_steps=4, warmup_steps=2, num_rays=32, num_samples=8,
+        checkpoint_interval=4, metric_interval=2, deterministic=True,
+    )
+    fb = sh.stack_frames(two_frames)
+    _, scalars = opt.optimize_frames_batched(fb, jax.random.PRNGKey(7), cfg)
+    matched = np.asarray(scalars["num_matched"])
+    assert matched.shape == (4, 2)
+    # metric steps (step+1) % 2 == 0 -> indices 1, 3
+    assert (matched[1::2] == 2.0).all()
+    # non-metric steps stay zero (gated)
+    assert (matched[0::2] == 0.0).all()
+    assert np.isfinite(np.asarray(scalars["iou_3d"])).all()
+
+
 def test_multinomial_logits_batched_rows():
     """The bucketed two-phase top-k draws independently per row."""
     from vsrd_tpu.ops import sampling

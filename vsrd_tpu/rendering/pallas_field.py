@@ -226,6 +226,11 @@ def _fused_forward(statics, tile, positions, locations, rotations, half_dims,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            # default scoped VMEM (16 MB) throttles double-buffering of
+            # the stacked [392, 4T] activation buffers
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=INTERPRET,
     )(pos_t, locations, rotations, half_dims, valid, temperature, *layers)
 
