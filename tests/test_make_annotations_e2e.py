@@ -124,7 +124,10 @@ def raw_root(tmp_path_factory):
 
 def _run_tool(path_parts, *args):
     tool = os.path.join(os.path.dirname(__file__), "..", "tools", *path_parts)
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    # PALLAS_AXON_POOL_IPS="" bypasses the TPU plugin sitecustomize,
+    # which otherwise overrides JAX_PLATFORMS and attaches the tool
+    # subprocess to the (possibly busy) tunneled chip
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
     result = subprocess.run(
         [sys.executable, tool, *args],
         capture_output=True, text=True, env=env, timeout=600,

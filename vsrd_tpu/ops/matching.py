@@ -164,6 +164,10 @@ def masked_linear_sum_assignment(
     """
     pair_valid = row_valid[:, None] & col_valid[None, :]
     padded = jnp.where(pair_valid, cost, PAD_COST)
-    if cost.shape[0] <= 16:
+    # Subset-DP is O(n * 2^n) with [2^n] gathers per row: a few wide VPU
+    # ops at n=8 (256 states, ~0.15 ms) but ~140 ms at n=16 (65k-state
+    # gathers lower terribly on TPU). Larger instance buckets take the
+    # sequential JV solver (~1-4 ms) instead.
+    if cost.shape[0] <= 8:
         return linear_sum_assignment_dp(padded)
     return linear_sum_assignment(padded)
