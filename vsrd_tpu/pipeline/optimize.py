@@ -176,10 +176,16 @@ def make_optimizer(cfg: OptimizationConfig, params_example) -> optax.GradientTra
             state["nu"],
             updates,
         )
-        decay = cfg.lr_decay ** count.astype(jnp.float32)
 
         def direction(m, v, lr, offset):
-            t = jnp.maximum(count.astype(jnp.float32) + 1.0 - offset, 1.0)
+            # count may be a lockstep scalar OR carry a leading frame
+            # axis (vmap-initialized sharded state); right-pad it so it
+            # broadcasts against [F, ...]-shaped leaves either way
+            c = count.astype(jnp.float32).reshape(
+                count.shape + (1,) * (m.ndim - count.ndim)
+            )
+            decay = cfg.lr_decay ** c
+            t = jnp.maximum(c + 1.0 - offset, 1.0)
             m_hat = m / (1.0 - b1**t)
             v_hat = v / (1.0 - b2**t)
             return -lr * decay * m_hat / (jnp.sqrt(v_hat) + eps)

@@ -78,7 +78,13 @@ def make_sharded_train_step(mesh: Mesh, cfg: opt_mod.OptimizationConfig):
 
 
 def init_sharded_state(key, num_frames, max_instances, cfg, mesh: Mesh):
-    """Stacked per-frame params/opt-state, placed sharded over 'dp'."""
+    """Stacked per-frame params/opt-state, placed sharded over 'dp'.
+
+    The opt state is vmap-initialized so EVERY leaf (including the Adam
+    step count) carries the frame axis — a uniform P('dp') spec then
+    covers the whole pytree in the shard_map; the optimizer's bias
+    correction broadcasts the per-frame count against batched leaves.
+    """
     keys = jax.random.split(key, num_frames)
     params_b = jax.vmap(lambda k: opt_mod.init_params(k, max_instances, cfg))(keys)
     tx = opt_mod.make_optimizer(cfg, jax.tree.map(lambda x: x[0], params_b))
