@@ -153,3 +153,41 @@ def test_pallas_kernel_interpret_backward(setup):
     np.testing.assert_allclose(np.asarray(gk[1]), np.asarray(gr[1]), rtol=1e-3, atol=1e-3)
     for a, b in zip(gk[2], gr[2]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.parametrize("n", [16, 24])
+def test_stacked_multi_group_matches_ground_truth(n):
+    """Instances beyond 8 run as groups of 8 (O(N) interleave cost);
+    the grouped evaluator must match the per-instance reference path."""
+    rng = np.random.default_rng(1)
+    pos = jnp.asarray(rng.normal(size=(64, 3)).astype(np.float32) * 5)
+    loc = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32) * 3)
+    angles = rng.uniform(-1, 1, n)
+    rot = jnp.asarray(
+        np.stack(
+            [
+                np.array(
+                    [[np.cos(a), 0, np.sin(a)], [0, 1, 0],
+                     [-np.sin(a), 0, np.cos(a)]],
+                    np.float32,
+                )
+                for a in angles
+            ]
+        )
+    )
+    half = jnp.asarray(rng.uniform(0.5, 2.0, size=(n, 3)).astype(np.float32))
+    valid = jnp.asarray((np.arange(n) < n - 2).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(n, 1617)).astype(np.float32) * 0.3)
+    statics = ff.FieldStatics(num_instances=n, field_dtype=None)
+
+    packed = tuple(hyper_field.pack_block_diagonal(w))
+    sp = scene_mod.SceneParams(
+        loc, rot, half, valid.astype(bool), packed_weights=packed
+    )
+    u_gt, w_gt = scene_mod.soft_scene_field(sp, 0.5)(pos)
+
+    mats = ff.build_interleaved_layers(w)
+    assert mats[0].shape[0] == n // 8       # group-stacked layout
+    u, wts, _ = ff.scene_eval_stacked(pos, loc, rot, half, valid, mats, 0.5, statics)
+    np.testing.assert_allclose(np.asarray(u), np.asarray(u_gt), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(wts), np.asarray(w_gt), atol=2e-5)

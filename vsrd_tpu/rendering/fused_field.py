@@ -410,13 +410,30 @@ def scene_eval_manual_grad(positions, locations, rotations, half_dims, valid,
 # ---------------------------------------------------------------------------
 
 
+def group_size_of(num_instances: int) -> int:
+    """Instances per interleave group: the whole scene below 8, groups
+    of 8 beyond (the padded kernel counts are always multiples of 8).
+
+    The interleaved block-diagonal matmul costs O(g^2) per group — one
+    [16g, 49g] LHS. g=8 gives the MXU-shaped 128-row matmul; letting g
+    grow with N instead (as the original single-group layout did) made
+    the MLP cost O(N^2) and the 24-instance bucket 3x more expensive
+    than necessary.
+    """
+    if num_instances <= 8:
+        return num_instances
+    assert num_instances % 8 == 0, num_instances
+    return 8
+
+
 def build_interleaved_layers(weights: jax.Array,
                              in_channels: int = 48,
                              out_channels_list: Sequence[int] = (16, 16, 16, 16),
                              final_channels: int = 1):
-    """[N, W] flattened per-instance weights -> per-layer interleaved
-    block-diagonal matrices [C_out*N, (C_in+1)*N] with row c*N+n and
-    column layout [input channels c*N+n ... bias slab last].
+    """[N, W] flattened per-instance weights -> per-layer group-stacked
+    interleaved block-diagonal matrices [G, C_out*g, (C_in+1)*g]
+    (g = `group_size_of(N)`, G = N/g) with row c*g+n and column layout
+    [input channels c*g+n ... bias slab last] within each group.
 
     Runs in XLA (outside kernels); rebuilt each step from the hypernet.
     """
@@ -426,7 +443,9 @@ def build_interleaved_layers(weights: jax.Array,
         in_channels, out_channels_list, final_channels
     )
     n = weights.shape[0]
-    idx = jnp.arange(n)
+    g_size = group_size_of(n)
+    num_groups = n // g_size
+    idx = jnp.arange(g_size)
     # layer-0 input channels follow the stacked evaluator's slab order
     # (k, dim, cos/sin); reference weights are (dim, k, cos/sin)-ordered
     num_frequencies = in_channels // 6
@@ -444,37 +463,32 @@ def build_interleaved_layers(weights: jax.Array,
         offset += count
         if layer == 0:
             w = w[:, :, perm]
-        # block[c, k, i, k] = w[k, c, i]; advanced indices separated by a
-        # slice move to the front, so the update has shape [n, c_out, in+1]
-        block = jnp.zeros((c_out, n, c_in + 1, n), weights.dtype)
-        block = block.at[:, idx, :, idx].set(w)
-        mats.append(block.reshape(c_out * n, (c_in + 1) * n))
+        w = w.reshape(num_groups, g_size, c_out, c_in + 1)
+        # block[G, c, k, i, k] = w[G, k, c, i]; the two advanced indices
+        # (separated by a slice) move to the FRONT of the update shape,
+        # so the update is w laid out as [g, G, c_out, c_in+1]
+        block = jnp.zeros(
+            (num_groups, c_out, g_size, c_in + 1, g_size), weights.dtype
+        )
+        block = block.at[:, :, idx, :, idx].set(jnp.swapaxes(w, 0, 1))
+        mats.append(
+            block.reshape(num_groups, c_out * g_size, (c_in + 1) * g_size)
+        )
     return tuple(mats)
 
 
-def _scene_eval_stacked_core(pos_t, dirs, locations, rotations, half_dims,
-                             valid, mats, temperature,
-                             statics: FieldStatics):
-    """(u [1, T], weights [N, T], u_dots [K, T]) with hand-rolled tangents.
+def _group_distances(pos_t, dirs, locations, rotations, half_dims, mats_g,
+                     temperature, statics: FieldStatics, n: int,
+                     k_tangents: int):
+    """Per-group box SDF + residual MLP with hand-rolled tangents.
 
-    ``pos_t [3, T]``; per-instance params stacked as [N, ...] with all
-    per-point work on [N, T] slabs; ``valid [N, 1]`` (2D so the Pallas
-    auto-vmap batching rule accepts it). ``mats`` from
-    `build_interleaved_layers` (empty tuple during warmup).
-
-    ``dirs`` selects the forward-mode tangents: ``None`` pushes the 3
-    coordinate basis tangents (K=3, u_dots = the spatial gradient);
-    a ``[3, T]`` array pushes ONE tangent along that per-point direction
-    (K=1, u_dots = the directional derivative). The single-direction mode
-    is what the Pallas backward kernel uses: the gradient cotangent dg
-    fixes one direction per point, so its VJP only needs a 2T-wide
-    stacked matmul instead of 4T.
+    ``n`` is the GROUP size (<= 8); per-instance params are the group's
+    slices; ``mats_g`` the group's interleaved layer matrices. Returns
+    ``(distances [n, T], t_dist list of K x [n, T])``.
     """
-    n = statics.num_instances
     t = pos_t.shape[1]
-    k_tangents = 3 if dirs is None else 1
 
-    px = jnp.tile(pos_t[0:1], (n, 1))                          # [N, T]
+    px = jnp.tile(pos_t[0:1], (n, 1))                          # [n, T]
     py = jnp.tile(pos_t[1:2], (n, 1))
     pz = jnp.tile(pos_t[2:3], (n, 1))
     rel = (
@@ -485,7 +499,7 @@ def _scene_eval_stacked_core(pos_t, dirs, locations, rotations, half_dims,
 
     # local_c = sum_i rel_i * R[:, i, c]; tangent along e_j is R[:, j, c]
     def col(i, c):
-        return rotations[:, i, c][:, None]                      # [N, 1]
+        return rotations[:, i, c][:, None]                      # [n, 1]
 
     local = tuple(
         rel[0] * col(0, c) + rel[1] * col(1, c) + rel[2] * col(2, c)
@@ -495,7 +509,7 @@ def _scene_eval_stacked_core(pos_t, dirs, locations, rotations, half_dims,
     if dirs is None:
         t_local = tuple(
             tuple(col(j, c) * ones_nt for c in range(3)) for j in range(3)
-        )  # t_local[k][c] : [N, T]
+        )  # t_local[k][c] : [n, T]
     else:
         v = tuple(jnp.tile(dirs[j : j + 1], (n, 1)) for j in range(3))
         t_local = (
@@ -534,7 +548,7 @@ def _scene_eval_stacked_core(pos_t, dirs, locations, rotations, half_dims,
     )
     inside_gate = (q_max < 0.0).astype(pos_t.dtype)
 
-    distances = outside - jax.nn.relu(-q_max)                   # [N, T]
+    distances = outside - jax.nn.relu(-q_max)                   # [n, T]
     t_dist = [t_outside[j] + inside_gate * t_max[j] for j in range(k_tangents)]
 
     if statics.use_rdf:
@@ -551,7 +565,7 @@ def _scene_eval_stacked_core(pos_t, dirs, locations, rotations, half_dims,
             for j in range(k_tangents)
         )
 
-        # channel-major slabs: rows c*N+n; order (k, cos/sin, dim)
+        # channel-major slabs: rows c*n+i; order (k, cos/sin, dim)
         chunks = []
         t_chunks = [[] for _ in range(k_tangents)]
         for k in range(statics.num_frequencies):
@@ -564,11 +578,11 @@ def _scene_eval_stacked_core(pos_t, dirs, locations, rotations, half_dims,
                 for j in range(k_tangents):
                     t_chunks[j].append(-s_ * (f * t_sym[j][d]))
                     t_chunks[j].append(c_ * (f * t_sym[j][d]))
-        x = jnp.concatenate(chunks, axis=0)                     # [48N, T]
+        x = jnp.concatenate(chunks, axis=0)                     # [48n, T]
         t_x = tuple(jnp.concatenate(tc, axis=0) for tc in t_chunks)
 
         widths = [*statics.out_channels_list, 1]
-        for index, mat in enumerate(mats):
+        for index, mat in enumerate(mats_g):
             c_out = widths[index]
             if index:
                 c_in = widths[index - 1]
@@ -608,7 +622,7 @@ def _scene_eval_stacked_core(pos_t, dirs, locations, rotations, half_dims,
                 jnp.concatenate([tx, jnp.zeros((n, t), x.dtype)], axis=0)
                 for tx in t_x
             )
-            stacked = jnp.concatenate([x_h, *t_h], axis=1)      # [(C+1)N, (K+1)T]
+            stacked = jnp.concatenate([x_h, *t_h], axis=1)      # [(C+1)n, (K+1)T]
             precision = (
                 jax.lax.Precision.HIGHEST
                 if statics.matmul_precision == "highest"
@@ -619,17 +633,67 @@ def _scene_eval_stacked_core(pos_t, dirs, locations, rotations, half_dims,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 precision=precision,
                 preferred_element_type=jnp.float32,
-            )                                                    # [C_out*N, (K+1)T]
+            )                                                    # [C_out*n, (K+1)T]
             x = out[:, :t]
             t_x = tuple(
                 out[:, (j + 1) * t : (j + 2) * t] for j in range(k_tangents)
             )
 
-        raw = x                                                  # [N, T]
+        raw = x                                                  # [n, T]
         sig = jax.nn.sigmoid(raw - 1.0)
         distances = distances + sig
         dsig = sig * (1.0 - sig)
         t_dist = [td + dsig * tx for td, tx in zip(t_dist, t_x)]
+
+    return distances, t_dist
+
+
+def _scene_eval_stacked_core(pos_t, dirs, locations, rotations, half_dims,
+                             valid, mats, temperature,
+                             statics: FieldStatics):
+    """(u [1, T], weights [N, T], u_dots [K, T]) with hand-rolled tangents.
+
+    ``pos_t [3, T]``; per-instance params stacked as [N, ...] with all
+    per-point work on instance-slab rows; ``valid [N, 1]`` (2D so the
+    Pallas auto-vmap batching rule accepts it). ``mats`` from
+    `build_interleaved_layers` (empty tuple during warmup): per layer a
+    group-stacked [G, C_out*g, (C_in+1)*g] matrix — instances run in
+    groups of `group_size_of(N)` so the block-diagonal matmul cost stays
+    O(N) while each group keeps the MXU-shaped 128-row LHS.
+
+    ``dirs`` selects the forward-mode tangents: ``None`` pushes the 3
+    coordinate basis tangents (K=3, u_dots = the spatial gradient);
+    a ``[3, T]`` array pushes ONE tangent along that per-point direction
+    (K=1, u_dots = the directional derivative). The single-direction mode
+    is what the Pallas backward kernel uses: the gradient cotangent dg
+    fixes one direction per point, so its VJP only needs a 2T-wide
+    stacked matmul instead of 4T.
+    """
+    n = statics.num_instances
+    k_tangents = 3 if dirs is None else 1
+    g_size = group_size_of(n)
+    num_groups = n // g_size
+
+    if num_groups == 1:
+        distances, t_dist = _group_distances(
+            pos_t, dirs, locations, rotations, half_dims,
+            tuple(m[0] for m in mats), temperature, statics, n, k_tangents,
+        )
+    else:
+        dist_parts = []
+        tdist_parts = [[] for _ in range(k_tangents)]
+        for g in range(num_groups):
+            sl = slice(g * g_size, (g + 1) * g_size)
+            d_g, t_g = _group_distances(
+                pos_t, dirs, locations[sl], rotations[sl], half_dims[sl],
+                tuple(m[g] for m in mats), temperature, statics, g_size,
+                k_tangents,
+            )
+            dist_parts.append(d_g)
+            for j in range(k_tangents):
+                tdist_parts[j].append(t_g[j])
+        distances = jnp.concatenate(dist_parts, axis=0)          # [N, T]
+        t_dist = [jnp.concatenate(p, axis=0) for p in tdist_parts]
 
     logits = -distances / temperature + (valid - 1.0) * 1e30
     weights = jax.nn.softmax(logits, axis=0)
