@@ -23,3 +23,8 @@ import jax  # noqa: E402
 # TPU plugin; the config flag wins as long as no backend is live yet.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+# Persistent compilation cache: the suite is compile-bound (every test
+# jits fresh graphs); re-runs hit the cache instead of recompiling.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_vsrd_tests")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
