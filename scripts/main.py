@@ -152,9 +152,12 @@ def _run_jobs(jobs, cfg, config, meters, stop_watch, logger):
         return
     if len(jobs) == 1:
         job = jobs[0]
+        last = {"step": 0}
 
         def callback(step, params, scalars):
-            meters.update(optimize=stop_watch.restart())
+            covered = step - last["step"]
+            last["step"] = step
+            meters.update(count=covered, optimize=stop_watch.restart())
             job.save_and_log(
                 step, params, scalars, cfg, config, meters, logger
             )
@@ -164,9 +167,12 @@ def _run_jobs(jobs, cfg, config, meters, stop_watch, logger):
         return
 
     frames = sharded_mod.stack_frames([job.frame for job in jobs])
+    last = {"step": 0}
 
     def callback(step, params, scalars):
-        meters.update(optimize=stop_watch.restart())
+        covered = (step - last["step"]) * len(jobs)
+        last["step"] = step
+        meters.update(count=covered, optimize=stop_watch.restart())
         for f, job in enumerate(jobs):
             params_f = jax.tree.map(lambda x: x[f], params)
             scalars_f = {k: v[:, f] for k, v in scalars.items()}

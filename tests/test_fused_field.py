@@ -122,8 +122,103 @@ def test_pallas_kernel_interpret_forward(setup):
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=1e-4)
 
 
+def _vjp_reference_cotangents(setup, statics, mats, du, dw, dg, temp=0.5):
+    """(dloc, drot, dhalf, dmats) via jax.vjp of the directional forward
+    with cotangents (du, dw, ones) — the contract the hand-written
+    reverse must reproduce."""
+    n, pos, loc, rot, half, valid, w = setup
+
+    def f(loc, rot, half, mats):
+        return ff.scene_eval_stacked_dir_t(
+            pos.T, dg.T, loc, rot, half, valid[:, None], mats, temp, statics
+        )
+
+    (u, wts, udot), vjp_fn = jax.vjp(f, loc, rot, half, mats)
+    return vjp_fn((du[None, :], dw.T, jnp.ones_like(udot)))
+
+
+@pytest.mark.parametrize("use_rdf", [True, False])
+def test_manual_dir_bwd_matches_vjp(setup, use_rdf):
+    """The hand-written reverse sweep (scene_eval_stacked_dir_bwd) must
+    match jax.vjp of the K=1 directional forward to f32 tolerance, in
+    both RDF and box-only (warmup) modes."""
+    n, pos, loc, rot, half, valid, w = setup
+    rng = np.random.default_rng(3)
+    t = pos.shape[0]
+    du = jnp.asarray(rng.normal(size=(t,)).astype(np.float32))
+    dw = jnp.asarray(rng.normal(size=(t, n)).astype(np.float32))
+    dg = jnp.asarray(rng.normal(size=(t, 3)).astype(np.float32))
+    statics = ff.FieldStatics(
+        num_instances=n, use_rdf=use_rdf, field_dtype=None
+    )
+    mats = ff.build_interleaved_layers(w) if use_rdf else ()
+
+    ref = _vjp_reference_cotangents(setup, statics, mats, du, dw, dg)
+    got = ff.scene_eval_stacked_dir_bwd(
+        pos, dg, loc, rot, half, valid, mats, 0.5, statics, du, dw
+    )
+    for name, a, b in zip(("dloc", "drot", "dhalf"), got, ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4,
+            err_msg=name,
+        )
+    for i, (a, b) in enumerate(zip(got[3], ref[3])):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4,
+            err_msg=f"dmat{i}",
+        )
+
+
 @pytest.mark.slow
-def test_pallas_kernel_interpret_backward(setup):
+def test_manual_dir_bwd_multi_group():
+    """Hand-written reverse across multiple instance groups (N=16)."""
+    n = 16
+    rng = np.random.default_rng(5)
+    t = 48
+    pos = jnp.asarray(rng.normal(size=(t, 3)).astype(np.float32) * 5)
+    loc = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32) * 3)
+    angles = rng.uniform(-1, 1, n)
+    rot = jnp.asarray(
+        np.stack(
+            [
+                np.array(
+                    [[np.cos(a), 0, np.sin(a)], [0, 1, 0],
+                     [-np.sin(a), 0, np.cos(a)]],
+                    np.float32,
+                )
+                for a in angles
+            ]
+        )
+    )
+    half = jnp.asarray(rng.uniform(0.5, 2.0, size=(n, 3)).astype(np.float32))
+    valid = jnp.asarray((np.arange(n) < n - 2).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(n, 1617)).astype(np.float32) * 0.3)
+    mats = ff.build_interleaved_layers(w)
+    statics = ff.FieldStatics(num_instances=n, field_dtype=None)
+    du = jnp.asarray(rng.normal(size=(t,)).astype(np.float32))
+    dw = jnp.asarray(rng.normal(size=(t, n)).astype(np.float32))
+    dg = jnp.asarray(rng.normal(size=(t, 3)).astype(np.float32))
+
+    ref = _vjp_reference_cotangents(
+        (n, pos, loc, rot, half, valid, w), statics, mats, du, dw, dg
+    )
+    got = ff.scene_eval_stacked_dir_bwd(
+        pos, dg, loc, rot, half, valid, mats, 0.5, statics, du, dw
+    )
+    for name, a, b in zip(("dloc", "drot", "dhalf"), got, ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4, err_msg=name
+        )
+    for i, (a, b) in enumerate(zip(got[3], ref[3])):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4,
+            err_msg=f"dmat{i}",
+        )
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("manual", [True, False])
+def test_pallas_kernel_interpret_backward(setup, manual):
     n, pos, loc, rot, half, valid, w = setup
     mats = ff.build_interleaved_layers(w)
     statics = ff.FieldStatics(num_instances=n, field_dtype=None)
@@ -142,11 +237,14 @@ def test_pallas_kernel_interpret_backward(setup):
         return jnp.sum(u) + jnp.sum(wts[:, :2]) + jnp.sum(jnp.square(g))
 
     old = pf.INTERPRET
+    old_manual = pf.MANUAL_BACKWARD
     pf.INTERPRET = True
+    pf.MANUAL_BACKWARD = manual
     try:
         gk = jax.grad(loss_kernel, argnums=(0, 1, 2))(loc, half, mats)
     finally:
         pf.INTERPRET = old
+        pf.MANUAL_BACKWARD = old_manual
     gr = jax.grad(loss_ref, argnums=(0, 1, 2))(loc, half, mats)
 
     np.testing.assert_allclose(np.asarray(gk[0]), np.asarray(gr[0]), rtol=1e-3, atol=1e-3)

@@ -167,6 +167,12 @@ def build_frame_data(
         cand = np.argpartition(sampling, -k)[-k:].astype(np.int32)
     else:
         cand = np.arange(sampling.size, dtype=np.int32)
+    # Descending-weight order: the bucketed two-phase Gumbel top-k
+    # (ops/sampling.py, sorted_logits=True) relies on ranks being
+    # strided evenly across buckets, which only holds if the candidate
+    # logits are sorted. argpartition output is unsorted, so sort once
+    # per frame here (host-side, amortized over all steps).
+    cand = cand[np.argsort(-sampling[cand], kind="stable")]
     with np.errstate(divide="ignore"):
         cand_weights = np.where(
             sampling[cand] > 0,

@@ -79,7 +79,7 @@ class OptimizationConfig:
     field_dtype: str | None = "bfloat16"  # RDF MLP compute dtype (None = f32)
     use_pallas: bool = True               # fused field kernel on TPU
     pallas_tile: int = 1024               # points per kernel grid step
-    pallas_bwd_tile: int = 512            # backward (recompute-vjp) tile
+    pallas_bwd_tile: int = 2048           # backward (fused reverse) tile
     # warmup box-only kernels are elementwise-tiny: a large tile
     # amortizes the grid-step latency that dominates them
     pallas_box_tile: int = 8192
@@ -809,12 +809,14 @@ def optimize_frames_batched(
     (``sharded.stack_frames``); scalars come back with shape
     ``[steps, F]``.
 
-    Equivalence note: on CPU the batched path reproduces per-frame runs
-    bit-exactly (tests/test_batched.py). On TPU, batched matmuls in the
-    hypernetwork round differently at the ~1e-7 level, which can flip an
-    inverse-CDF bin in the hierarchical resampling and move isolated
-    fine samples — per-loss deltas stay at the 1e-3 level, the same
-    order as any op-reordering noise.
+    Equivalence note: in deterministic mode with identical fixed ray
+    schedules the batched path matches per-frame runs to float tolerance
+    (tests/test_batched.py asserts rtol<=2e-4; batched matmuls round
+    differently at the ~1e-7 level, which can flip an inverse-CDF bin in
+    the hierarchical resampling and move isolated fine samples).
+    Stochastic runs intentionally differ from per-frame runs: the
+    batched path draws [F, ...]-shaped noise from one shared key while
+    per-frame runs use per-frame keys.
     """
     num_frames = frames.valid.shape[0]
     key_init, key_run = jax.random.split(key)

@@ -41,15 +41,21 @@ def make_mesh(devices=None, dp: int | None = None, sp: int | None = None) -> Mes
     return Mesh(np.asarray(devices).reshape(dp, sp), ("dp", "sp"))
 
 
-def make_sharded_train_step(mesh: Mesh, cfg: opt_mod.OptimizationConfig):
+def make_sharded_train_step(mesh: Mesh, cfg: opt_mod.OptimizationConfig,
+                            with_ray_schedule: bool = False):
     """Build a jitted dp x sp training step over stacked frames.
 
     Input pytrees carry a leading frame axis sharded over 'dp'; rays are
     sharded over 'sp' inside. Returns ``step_fn(params_b, opt_b,
     frames_b, step, key) -> (params_b, opt_b, scalars_b)``.
+
+    ``with_ray_schedule=True`` appends a ``ray_indices [F, R]`` argument
+    (dp-sharded, sp-sliced inside compute_loss) that bypasses the Gumbel
+    ray draw — used by the deterministic sp-equivalence test
+    (tests/test_pipeline.py) and parity experiments.
     """
 
-    def shard_body(params_b, opt_b, frames_b, step, key):
+    def shard_body(params_b, opt_b, frames_b, step, key, ray_indices=None):
         tx = opt_mod.make_optimizer(cfg, params_b)
 
         # train_step handles the local frame batch natively (one Pallas
@@ -61,16 +67,19 @@ def make_sharded_train_step(mesh: Mesh, cfg: opt_mod.OptimizationConfig):
         step_key = jax.random.fold_in(jax.random.fold_in(key, dp_rank), step)
         return opt_mod.train_step(
             params_b, opt_b, frames_b, step, step_key, cfg, tx,
-            sp_axis="sp",
+            ray_indices=ray_indices, sp_axis="sp",
         )
 
     from jax.experimental.shard_map import shard_map
 
     frame_specs = P("dp")
+    scalar_specs = (P(), P())
+    ray_specs = (frame_specs,) if with_ray_schedule else ()
     sharded = shard_map(
         shard_body,
         mesh=mesh,
-        in_specs=(frame_specs, frame_specs, frame_specs, P(), P()),
+        in_specs=(frame_specs, frame_specs, frame_specs, *scalar_specs,
+                  *ray_specs),
         out_specs=(frame_specs, frame_specs, frame_specs),
         check_rep=False,
     )

@@ -739,6 +739,433 @@ def scene_eval_stacked_dir_t(pos_t, dir_t, locations, rotations, half_dims,
     )
 
 
+# ---------------------------------------------------------------------------
+# Hand-written reverse pass (the backward-kernel hot path).
+#
+# The backward Pallas kernel needs, per tile, the VJP of
+#     f(loc, R, half, mats) -> (u, w, u_dot = <dg, grad_x u>)
+# with cotangents (du, dw, 1).  `jax.vjp` of the tangent-augmented
+# forward computes this but pays framework overhead — unshared
+# subexpressions between the tangent chain and its transpose, a generic
+# LayerNorm second-order transpose, and extra selects: measured 6.6 ms
+# reverse vs the 4.0 ms K=1 recompute at the bench workload (NOTES.md).
+# This hand-derived reverse fuses the recompute with a minimal-residual
+# reverse sweep sharing every forward subexpression.
+#
+# Math summary (per point, N instances, temperature tau):
+#   stage A:  w = softmax(-d/tau), u = sum d_i w_i, m = sum w_i td_i,
+#             u_dot = m + (u m - sum d_i w_i td_i)/tau
+#     =>  td_bar_i = w_i (1 + (u - d_i)/tau)
+#         w_tot_i  = dw_i + du d_i + td_i (1 + (u - d_i)/tau) + m d_i/tau
+#         l_bar    = softmax-transpose(w_tot)
+#         d_bar_i  = du w_i + w_i (m - td_i)/tau - l_bar_i/tau
+#   LayerNorm pair (y, ty) = (LN(a), JVP_LN_a(t)): the t-cotangent
+#     transposes with the SAME form as the primal LN transpose; the
+#     a-cotangent additionally picks up d/da <ty_bar, JVP_LN_a(t)> =
+#       -(istd^2/C) [ y (A - 3 istd proj By) + By tc ]
+#       - istd^3 proj (ty_bar - Sy/C)
+#     with A = sum_c ty_bar tc, By = sum_c ty_bar y, Sy = sum_c ty_bar,
+#     proj = mean_c(centered . tc)  (all per-instance channel-slab sums).
+#
+# Validated against jax.vjp in tests/test_fused_field.py.
+# ---------------------------------------------------------------------------
+
+_INV_SQRT2 = 1.0 / math.sqrt(2.0)
+_INV_SQRT2PI = 1.0 / math.sqrt(2.0 * math.pi)
+
+
+def _group_dir_fwd_res(pos_t, dirs, locations, rotations, half_dims, mats_g,
+                       statics: FieldStatics, n: int):
+    """K=1 directional forward for one instance group, saving the
+    residuals `_group_dir_bwd` needs. Mirrors `_group_distances` with
+    ``k_tangents=1`` (kept separate: the residual set differs)."""
+    t = pos_t.shape[1]
+    ones_nt = jnp.ones((n, t), pos_t.dtype)
+
+    rel = tuple(
+        jnp.tile(pos_t[i : i + 1], (n, 1)) - locations[:, i : i + 1]
+        for i in range(3)
+    )
+    v = tuple(jnp.tile(dirs[i : i + 1], (n, 1)) for i in range(3))
+
+    def col(i, c):
+        return rotations[:, i, c][:, None]
+
+    local = tuple(
+        rel[0] * col(0, c) + rel[1] * col(1, c) + rel[2] * col(2, c)
+        for c in range(3)
+    )
+    vloc = tuple(
+        v[0] * col(0, c) + v[1] * col(1, c) + v[2] * col(2, c)
+        for c in range(3)
+    )
+    sign_l = tuple(jnp.sign(l) for l in local)
+    q = tuple(jnp.abs(local[c]) - half_dims[:, c : c + 1] for c in range(3))
+    tq = tuple(sign_l[c] * vloc[c] for c in range(3))
+    rq = tuple(jax.nn.relu(qc) for qc in q)
+    outside = jnp.sqrt(rq[0] ** 2 + rq[1] ** 2 + rq[2] ** 2 + 1e-6)
+    s_r = rq[0] * tq[0] + rq[1] * tq[1] + rq[2] * tq[2]
+    m1 = jnp.maximum(q[0], q[1])
+    qmax = jnp.maximum(m1, q[2])
+    pick01 = q[0] > q[1]
+    pick2 = qmax > m1
+    t_max = jnp.where(pick2, tq[2], jnp.where(pick01, tq[0], tq[1]))
+    ig = (qmax < 0.0).astype(pos_t.dtype)
+    distances = outside - jax.nn.relu(-qmax)
+    t_dist = s_r / outside + ig * t_max
+
+    res = {"rel": rel, "v": v, "local": local, "vloc": vloc, "q": q,
+           "outside": outside, "s_r": s_r, "stacked": [], "ln": []}
+
+    if statics.use_rdf:
+        inv_scale = 1.0 / statics.position_scale
+        sym = (jnp.abs(local[0]) * inv_scale, local[1] * inv_scale,
+               local[2] * inv_scale)
+        tsym = (sign_l[0] * vloc[0] * inv_scale, vloc[1] * inv_scale,
+                vloc[2] * inv_scale)
+        res["tsym"] = tsym
+        chunks, t_chunks, trig = [], [], []
+        for k in range(statics.num_frequencies):
+            f = math.pi * (2.0**k)
+            for d in range(3):
+                phase = sym[d] * f
+                c_, s_ = jnp.cos(phase), jnp.sin(phase)
+                trig.append((c_, s_))
+                chunks.append(c_)
+                chunks.append(s_)
+                t_chunks.append(-s_ * (f * tsym[d]))
+                t_chunks.append(c_ * (f * tsym[d]))
+        res["trig"] = trig
+        x = jnp.concatenate(chunks, axis=0)                      # [48n, T]
+        tx = jnp.concatenate(t_chunks, axis=0)
+
+        widths = [*statics.out_channels_list, 1]
+        precision = (
+            jax.lax.Precision.HIGHEST
+            if statics.matmul_precision == "highest"
+            else jax.lax.Precision.DEFAULT
+        )
+        for index, mat in enumerate(mats_g):
+            if index:
+                c_in = widths[index - 1]
+                slabs = [x[c * n : (c + 1) * n] for c in range(c_in)]
+                mean = sum(slabs) / c_in
+                centered = x - jnp.tile(mean, (c_in, 1))
+                c_slabs = [centered[c * n : (c + 1) * n] for c in range(c_in)]
+                var = sum(cs * cs for cs in c_slabs) / c_in
+                istd = jax.lax.rsqrt(var + 1e-5)
+                istd_t = jnp.tile(istd, (c_in, 1))
+                y = centered * istd_t
+                tx_slabs = [tx[c * n : (c + 1) * n] for c in range(c_in)]
+                t_mean = sum(tx_slabs) / c_in
+                tc = tx - jnp.tile(t_mean, (c_in, 1))
+                proj = sum(
+                    cs * (ts - t_mean) for cs, ts in zip(c_slabs, tx_slabs)
+                ) / c_in
+                ty = istd_t * (tc - y * istd_t * jnp.tile(proj, (c_in, 1)))
+                cdf = 0.5 * (1.0 + _erf(y * _INV_SQRT2))
+                pdf = jnp.exp(-0.5 * y * y) * _INV_SQRT2PI
+                res["ln"].append(
+                    {"y": y, "istd": istd, "tc": tc, "proj": proj,
+                     "cdf": cdf, "pdf": pdf, "ty": ty, "c_in": c_in}
+                )
+                x = y * cdf
+                tx = (cdf + y * pdf) * ty
+            x_h = jnp.concatenate([x, ones_nt], axis=0)
+            t_h = jnp.concatenate([tx, jnp.zeros((n, t), x.dtype)], axis=0)
+            stacked = jnp.concatenate([x_h, t_h], axis=1)   # [(C+1)n, 2T]
+            res["stacked"].append(stacked)
+            out = jax.lax.dot_general(
+                mat, stacked,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                precision=precision,
+                preferred_element_type=jnp.float32,
+            )
+            x = out[:, :t]
+            tx = out[:, t:]
+        sig = jax.nn.sigmoid(x - 1.0)
+        res["raw"] = x
+        res["traw"] = tx
+        res["sig"] = sig
+        distances = distances + sig
+        t_dist = t_dist + sig * (1.0 - sig) * tx
+
+    return distances, t_dist, res
+
+
+def _group_dir_bwd(res, mats_g, rotations, d_bar, td_bar,
+                   statics: FieldStatics, n: int):
+    """Reverse sweep for one group. ``d_bar``/``td_bar`` are the group's
+    slices of the stage-A cotangents. Returns (dloc [n,3], drot9 [n,9]
+    row-major (i*3+c), dhalf [n,3], dmats list of 2D per-layer blocks)."""
+    t = d_bar.shape[1]
+    local = res["local"]
+    vloc = res["vloc"]
+    q = res["q"]
+    outside = res["outside"]
+    s_r = res["s_r"]
+    sign_l = tuple(jnp.sign(l) for l in local)
+    tq = tuple(sign_l[c] * vloc[c] for c in range(3))
+    rq = tuple(jax.nn.relu(qc) for qc in q)
+    m1 = jnp.maximum(q[0], q[1])
+    qmax = jnp.maximum(m1, q[2])
+    pick01 = q[0] > q[1]
+    pick2 = qmax > m1
+    ig = (qmax < 0.0).astype(d_bar.dtype)
+    not2 = jnp.logical_not(pick2)
+    sel = (
+        jnp.logical_and(not2, pick01).astype(d_bar.dtype),
+        jnp.logical_and(not2, jnp.logical_not(pick01)).astype(d_bar.dtype),
+        pick2.astype(d_bar.dtype),
+    )
+
+    local_bar = [0.0, 0.0, 0.0]
+    vloc_bar = [0.0, 0.0, 0.0]
+    dmats = []
+
+    if statics.use_rdf:
+        traw = res["traw"]
+        sig = res["sig"]
+        sigp = sig * (1.0 - sig)
+        xo = d_bar * sigp + td_bar * traw * (sigp * (1.0 - 2.0 * sig))
+        txo = td_bar * sigp
+        precision = (
+            jax.lax.Precision.HIGHEST
+            if statics.matmul_precision == "highest"
+            else jax.lax.Precision.DEFAULT
+        )
+        x_enc_bar = t_enc_bar = None
+        for index in reversed(range(len(mats_g))):
+            stacked = res["stacked"][index]
+            obar = jnp.concatenate([xo, txo], axis=1)        # [C_out n, 2T]
+            dmats.append(
+                jax.lax.dot_general(
+                    obar, stacked,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    precision=precision,
+                    preferred_element_type=jnp.float32,
+                )
+            )                                                # [C_out n, (C+1)n]
+            xbar_full = jax.lax.dot_general(
+                mats_g[index], obar,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                precision=precision,
+                preferred_element_type=jnp.float32,
+            )                                                # [(C+1)n, 2T]
+            c_rows = stacked.shape[0] - n                    # C_in * n
+            gbar = xbar_full[:c_rows, :t]
+            tgbar = xbar_full[:c_rows, t:]
+            if index:
+                ln = res["ln"][index - 1]
+                y, istd, tc = ln["y"], ln["istd"], ln["tc"]
+                proj, cdf, pdf, ty = ln["proj"], ln["cdf"], ln["pdf"], ln["ty"]
+                c_in = ln["c_in"]
+                dgelu = cdf + y * pdf
+                ybar = gbar * dgelu + tgbar * ty * (pdf * (2.0 - y * y))
+                tybar = tgbar * dgelu
+
+                def ssum(z):
+                    return sum(z[c * n : (c + 1) * n] for c in range(c_in))
+
+                istd_t = jnp.tile(istd, (c_in, 1))
+                # tangent-channel adjoint: same form as the LN transpose
+                m_ty = ssum(tybar) / c_in
+                m_tyy = ssum(tybar * y) / c_in
+                txo = istd_t * (
+                    tybar
+                    - jnp.tile(m_ty, (c_in, 1))
+                    - y * jnp.tile(m_tyy, (c_in, 1))
+                )
+                # primal LN transpose
+                m_y = ssum(ybar) / c_in
+                m_yy = ssum(ybar * y) / c_in
+                a1 = istd_t * (
+                    ybar
+                    - jnp.tile(m_y, (c_in, 1))
+                    - y * jnp.tile(m_yy, (c_in, 1))
+                )
+                # second-order term d/da <tybar, JVP_LN_a(t)>
+                a_sum = ssum(tybar * tc)
+                by = ssum(tybar * y)
+                sy = ssum(tybar)
+                istd2 = istd * istd
+                istd3p = istd2 * istd * proj
+                coef = istd2 * (1.0 / c_in)
+                a2 = (
+                    -jnp.tile(coef * (a_sum - 3.0 * istd * proj * by), (c_in, 1)) * y
+                    - jnp.tile(coef * by, (c_in, 1)) * tc
+                    - jnp.tile(istd3p, (c_in, 1)) * tybar
+                    + jnp.tile(istd3p * sy * (1.0 / c_in), (c_in, 1))
+                )
+                xo = a1 + a2
+            else:
+                x_enc_bar = gbar
+                t_enc_bar = tgbar
+        dmats.reverse()
+
+        # encoding reverse
+        tsym = res["tsym"]
+        trig = res["trig"]
+        inv_scale = 1.0 / statics.position_scale
+        sym_bar = [0.0, 0.0, 0.0]
+        tsym_bar = [0.0, 0.0, 0.0]
+        idx = 0
+        for k in range(statics.num_frequencies):
+            f = math.pi * (2.0**k)
+            for d in range(3):
+                c_, s_ = trig[idx]
+                r0 = (2 * idx) * n
+                cbar = x_enc_bar[r0 : r0 + n]
+                sbar = x_enc_bar[r0 + n : r0 + 2 * n]
+                tcbar = t_enc_bar[r0 : r0 + n]
+                tsbar = t_enc_bar[r0 + n : r0 + 2 * n]
+                sym_bar[d] = (
+                    sym_bar[d]
+                    + f * (sbar * c_ - cbar * s_)
+                    - (f * f) * tsym[d] * (tcbar * c_ + tsbar * s_)
+                )
+                tsym_bar[d] = tsym_bar[d] + f * (tsbar * c_ - tcbar * s_)
+                idx += 1
+        local_bar[0] = sym_bar[0] * sign_l[0] * inv_scale
+        local_bar[1] = sym_bar[1] * inv_scale
+        local_bar[2] = sym_bar[2] * inv_scale
+        vloc_bar[0] = tsym_bar[0] * sign_l[0] * inv_scale
+        vloc_bar[1] = tsym_bar[1] * inv_scale
+        vloc_bar[2] = tsym_bar[2] * inv_scale
+
+    # box part
+    inv_out = 1.0 / outside
+    inv_out3 = inv_out * inv_out * inv_out
+    q_bar = []
+    for c in range(3):
+        qpos = (q[c] > 0.0).astype(d_bar.dtype)
+        qb = (
+            d_bar * (rq[c] * inv_out)
+            + td_bar * (qpos * tq[c] * inv_out - s_r * rq[c] * inv_out3)
+            + d_bar * ig * sel[c]
+        )
+        tqb = td_bar * (rq[c] * inv_out) + td_bar * ig * sel[c]
+        q_bar.append(qb)
+        local_bar[c] = local_bar[c] + qb * sign_l[c]
+        vloc_bar[c] = vloc_bar[c] + tqb * sign_l[c]
+
+    def col(i, c):
+        return rotations[:, i, c][:, None]
+
+    rel = res["rel"]
+    v = res["v"]
+    dloc = jnp.concatenate(
+        [
+            -jnp.sum(
+                local_bar[0] * col(i, 0)
+                + local_bar[1] * col(i, 1)
+                + local_bar[2] * col(i, 2),
+                axis=1, keepdims=True,
+            )
+            for i in range(3)
+        ],
+        axis=1,
+    )
+    drot9 = jnp.concatenate(
+        [
+            jnp.sum(
+                local_bar[c] * rel[i] + vloc_bar[c] * v[i],
+                axis=1, keepdims=True,
+            )
+            for i in range(3)
+            for c in range(3)
+        ],
+        axis=1,
+    )
+    dhalf = jnp.concatenate(
+        [-jnp.sum(qb, axis=1, keepdims=True) for qb in q_bar], axis=1
+    )
+    return dloc, drot9, dhalf, dmats
+
+
+def _stage_a_bwd(distances, td, valid, temperature, du, dw):
+    """Cotangents (d_bar, td_bar) of the softmin union + directional
+    derivative given output cotangents (du on u, dw on w, ones on u_dot).
+    All [N, T] slab arithmetic; see the derivation in the section
+    comment above."""
+    inv_t = 1.0 / temperature
+    logits = -distances * inv_t + (valid - 1.0) * 1e30
+    w = jax.nn.softmax(logits, axis=0)
+    u = jnp.sum(distances * w, axis=0, keepdims=True)
+    m = jnp.sum(w * td, axis=0, keepdims=True)
+    scale = 1.0 + (u - distances) * inv_t
+    td_bar = w * scale
+    w_tot = dw + du * distances + td * scale + m * distances * inv_t
+    l_bar = w * (w_tot - jnp.sum(w * w_tot, axis=0, keepdims=True))
+    d_bar = du * w + w * (m - td) * inv_t - l_bar * inv_t
+    return d_bar, td_bar
+
+
+def scene_eval_stacked_dir_bwd_t(pos_t, dg_t, locations, rotations, half_dims,
+                                 valid, mats, temperature,
+                                 statics: FieldStatics, du, dw):
+    """Hand-written VJP of ``scene_eval_stacked_dir_t`` w.r.t.
+    (locations, rotations, half_dims, mats) with output cotangents
+    (``du`` [1, T] on u, ``dw`` [N, T] on weights, ones on u_dot).
+
+    Returns ``(dloc [N,3], drot9 [N,9] row-major, dhalf [N,3],
+    dmats: list per layer of list per group of 2D blocks)`` — 2D shapes
+    throughout so the Pallas kernel body never reshapes >2D.
+    """
+    n = statics.num_instances
+    g_size = group_size_of(n)
+    num_groups = n // g_size
+
+    ds, tds, reses = [], [], []
+    for g in range(num_groups):
+        sl = slice(g * g_size, (g + 1) * g_size)
+        d_g, td_g, res = _group_dir_fwd_res(
+            pos_t, dg_t, locations[sl], rotations[sl], half_dims[sl],
+            tuple(m[g] for m in mats), statics, g_size,
+        )
+        ds.append(d_g)
+        tds.append(td_g)
+        reses.append(res)
+    distances = jnp.concatenate(ds, axis=0) if num_groups > 1 else ds[0]
+    td = jnp.concatenate(tds, axis=0) if num_groups > 1 else tds[0]
+
+    d_bar, td_bar = _stage_a_bwd(distances, td, valid, temperature, du, dw)
+
+    dlocs, drots, dhalfs = [], [], []
+    dmats_groups = [[] for _ in mats]
+    for g in range(num_groups):
+        sl = slice(g * g_size, (g + 1) * g_size)
+        dloc_g, drot9_g, dhalf_g, dmats_g = _group_dir_bwd(
+            reses[g], tuple(m[g] for m in mats), rotations[sl],
+            d_bar[sl], td_bar[sl], statics, g_size,
+        )
+        dlocs.append(dloc_g)
+        drots.append(drot9_g)
+        dhalfs.append(dhalf_g)
+        for li, dm in enumerate(dmats_g):
+            dmats_groups[li].append(dm)
+
+    cat = (lambda xs: jnp.concatenate(xs, axis=0)) if num_groups > 1 else (
+        lambda xs: xs[0]
+    )
+    return cat(dlocs), cat(drots), cat(dhalfs), dmats_groups
+
+
+def scene_eval_stacked_dir_bwd(positions, dg, locations, rotations, half_dims,
+                               valid, mats, temperature,
+                               statics: FieldStatics, du, dw):
+    """Standard-layout adapter over the hand-written reverse (tests/XLA):
+    returns (dloc [N,3], drot [N,3,3], dhalf [N,3], dmats like ``mats``)."""
+    n = statics.num_instances
+    dloc, drot9, dhalf, dmats_groups = scene_eval_stacked_dir_bwd_t(
+        positions.T, dg.T, locations, rotations, half_dims, valid[:, None],
+        mats, temperature, statics, du[None, :], dw.T,
+    )
+    drot = drot9.reshape(n, 3, 3)
+    dmats = tuple(jnp.stack(groups, axis=0) for groups in dmats_groups)
+    return dloc, drot, dhalf, dmats
+
+
 def scene_eval_stacked(positions, locations, rotations, half_dims, valid,
                        mats, temperature, statics: FieldStatics):
     """Standard-layout adapter over the stacked evaluator (for tests)."""

@@ -34,6 +34,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .fused_field import (
     FieldStatics,
+    scene_eval_stacked_dir_bwd_t,
     scene_eval_stacked_dir_t,
     scene_eval_stacked_t,
 )
@@ -41,6 +42,14 @@ from .fused_field import (
 
 # Set True (e.g. in CPU tests) to run kernels in the Pallas interpreter.
 INTERPRET = False
+
+# Backward-kernel implementation: the hand-written reverse sweep
+# (fused_field.scene_eval_stacked_dir_bwd_t) or `jax.vjp` of the
+# directional forward traced at kernel-build time. The manual reverse
+# shares every recompute subexpression with its reverse sweep and fuses
+# the LayerNorm second-order transpose; flip to False to A/B against
+# the autodiff kernel (bench.py --verify checks both against XLA).
+MANUAL_BACKWARD = True
 
 
 def pallas_supported() -> bool:
@@ -125,6 +134,42 @@ def _bwd_kernel(statics, n_layers, tile_axis, pos_ref, loc_ref, rot_ref,
     dhalf_ref[:] += dhalf
     for ref, grad in zip(dlayer_refs, dlayers):
         ref[:] += grad.astype(ref.dtype)
+
+
+def _bwd_kernel_manual(statics, n_layers, tile_axis, pos_ref, loc_ref,
+                       rot_ref, half_ref, valid_ref, temp_ref, *rest):
+    """Hand-written reverse kernel body. Same operand layout as
+    `_bwd_kernel` except the rotation cotangent is a 2D [N, 9] block and
+    each layer cotangent a 2D [G*rows, cols] block (reshaped by the
+    caller) so the kernel never builds >2D values."""
+    layer_refs = rest[:n_layers]
+    du_ref, dg_ref, dw_ref = rest[n_layers : n_layers + 3]
+    dloc_ref, drot_ref, dhalf_ref = rest[n_layers + 3 : n_layers + 6]
+    dlayer_refs = rest[n_layers + 6 :]
+
+    layers = tuple(r[:] for r in layer_refs)
+    dloc, drot9, dhalf, dmats_groups = scene_eval_stacked_dir_bwd_t(
+        pos_ref[:], dg_ref[:], loc_ref[:], rot_ref[:], half_ref[:],
+        valid_ref[:], layers, temp_ref[0], statics, du_ref[:], dw_ref[:],
+    )
+
+    step = pl.program_id(tile_axis)
+
+    @pl.when(step == 0)
+    def _():
+        dloc_ref[:] = jnp.zeros_like(dloc_ref)
+        drot_ref[:] = jnp.zeros_like(drot_ref)
+        dhalf_ref[:] = jnp.zeros_like(dhalf_ref)
+        for ref in dlayer_refs:
+            ref[:] = jnp.zeros_like(ref)
+
+    dloc_ref[:] += dloc
+    drot_ref[:] += drot9
+    dhalf_ref[:] += dhalf
+    for ref, groups in zip(dlayer_refs, dmats_groups):
+        rows = groups[0].shape[0]
+        for g, dm in enumerate(groups):
+            ref[g * rows : (g + 1) * rows, :] += dm
 
 
 def _tile_spec(rows, tile):
@@ -275,6 +320,9 @@ def _fused_forward_batched(statics, tile, positions, locations, rotations,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=INTERPRET,
     )(pos_t, locations, rotations, half_dims, valid, temperature, *layers)
 
@@ -302,13 +350,14 @@ def _fused_bwd_rule(statics, tile, residuals, cotangents):
      temperature) = residuals
     du, dw, dg = cotangents
 
-    # The recompute-vjp inside the kernel holds the tile's reverse-mode
-    # residuals in VMEM, so the backward tile must be smaller — but only
-    # when the hyper-MLP runs; the box-only (warmup) tile is tiny.
+    # The recompute inside the kernel holds the tile's reverse-sweep
+    # residuals in VMEM, so the backward tile is sized separately — the
+    # hand-written reverse's residual set is small enough for 2048-point
+    # tiles (measured optimum); the vjp fallback needs 256.
     if isinstance(tile, tuple):
         tile = tile[1]
     elif statics.use_rdf:
-        tile = min(tile, 256)
+        tile = min(tile, 2048 if MANUAL_BACKWARD else 256)
 
     if positions.ndim == 3:
         return _fused_bwd_batched(
@@ -327,17 +376,27 @@ def _fused_bwd_rule(statics, tile, residuals, cotangents):
 
     temperature_arr = jnp.asarray(temperature, jnp.float32).reshape(1)
 
+    manual = MANUAL_BACKWARD
+    # manual mode keeps every kernel value 2D: [N, 9] rotation block and
+    # [G*rows, cols] layer blocks, reshaped back below
+    rot_shape = (n, 9) if manual else rotations.shape
+    layer_shapes = [
+        (m.shape[0] * m.shape[1], m.shape[2]) if manual else m.shape
+        for m in layers
+    ]
+    kernel = _bwd_kernel_manual if manual else _bwd_kernel
+
     out_shape = (
         jax.ShapeDtypeStruct(locations.shape, jnp.float32),
-        jax.ShapeDtypeStruct(rotations.shape, jnp.float32),
+        jax.ShapeDtypeStruct(rot_shape, jnp.float32),
         jax.ShapeDtypeStruct(half_dims.shape, jnp.float32),
-        *[jax.ShapeDtypeStruct(m.shape, jnp.float32) for m in layers],
+        *[jax.ShapeDtypeStruct(s, jnp.float32) for s in layer_shapes],
     )
     out_specs = (
         _const_spec(locations.shape),
-        _const_spec(rotations.shape),
+        _const_spec(rot_shape),
         _const_spec(half_dims.shape),
-        *[_const_spec(m.shape) for m in layers],
+        *[_const_spec(s) for s in layer_shapes],
     )
     in_specs = [
         _tile_spec(3, tile),                     # positions (transposed)
@@ -353,13 +412,13 @@ def _fused_bwd_rule(statics, tile, residuals, cotangents):
     ]
 
     outs = pl.pallas_call(
-        functools.partial(_bwd_kernel, statics, len(layers), 0),
+        functools.partial(kernel, statics, len(layers), 0),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
-            # the recompute-vjp residuals legitimately need more than the
+            # the recompute residuals legitimately need more than the
             # conservative 16 MB default scoped budget
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
@@ -368,6 +427,9 @@ def _fused_bwd_rule(statics, tile, residuals, cotangents):
       *layers, du_t, dg_t, dw_t)
 
     dloc, drot, dhalf, *dlayers = outs
+    if manual:
+        drot = drot.reshape(rotations.shape)
+        dlayers = [g.reshape(m.shape) for g, m in zip(dlayers, layers)]
     dlayers = tuple(g.astype(m.dtype) for g, m in zip(dlayers, layers))
     return (
         jnp.zeros_like(positions),               # positions: not differentiated
@@ -394,19 +456,29 @@ def _fused_bwd_batched(statics, tile, positions, locations, rotations,
 
     temperature_arr = jnp.asarray(temperature, jnp.float32).reshape(1)
 
+    manual = MANUAL_BACKWARD
+    rot_shape = (f, n, 9) if manual else rotations.shape
+    layer_shapes = [
+        (m.shape[0], m.shape[1] * m.shape[2], m.shape[3])
+        if manual
+        else m.shape
+        for m in layers
+    ]
+    kernel = _bwd_kernel_manual if manual else _bwd_kernel
+
     out_shape = (
         jax.ShapeDtypeStruct(locations.shape, jnp.float32),
-        jax.ShapeDtypeStruct(rotations.shape, jnp.float32),
+        jax.ShapeDtypeStruct(rot_shape, jnp.float32),
         jax.ShapeDtypeStruct(half_dims.shape, jnp.float32),
-        *[jax.ShapeDtypeStruct(m.shape, jnp.float32) for m in layers],
+        *[jax.ShapeDtypeStruct(s, jnp.float32) for s in layer_shapes],
     )
     # param cotangents revisit their frame's block across tile steps;
     # zero-init fires at tile step 0 of each frame (program_id axis 1)
     out_specs = (
         _const_spec_b(locations.shape[1:]),
-        _const_spec_b(rotations.shape[1:]),
+        _const_spec_b(rot_shape[1:]),
         _const_spec_b(half_dims.shape[1:]),
-        *[_const_spec_b(m.shape[1:]) for m in layers],
+        *[_const_spec_b(s[1:]) for s in layer_shapes],
     )
     in_specs = [
         _tile_spec_b(3, tile),                   # positions (transposed)
@@ -422,7 +494,7 @@ def _fused_bwd_batched(statics, tile, positions, locations, rotations,
     ]
 
     outs = pl.pallas_call(
-        functools.partial(_bwd_kernel, statics, len(layers), 1),
+        functools.partial(kernel, statics, len(layers), 1),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
@@ -435,6 +507,9 @@ def _fused_bwd_batched(statics, tile, positions, locations, rotations,
       *layers, du_t, dg_t, dw_t)
 
     dloc, drot, dhalf, *dlayers = outs
+    if manual:
+        drot = drot.reshape(rotations.shape)
+        dlayers = [g.reshape(m.shape) for g, m in zip(dlayers, layers)]
     dlayers = tuple(g.astype(m.dtype) for g, m in zip(dlayers, layers))
     return (
         jnp.zeros_like(positions),               # positions: not differentiated

@@ -46,10 +46,13 @@ class ProgressMeter:
         self.meters = collections.defaultdict(lambda: EMAMeter(momentum))
         self.step = 0
 
-    def update(self, **durations):
+    def update(self, count=1, **durations):
+        """``count`` = number of total_steps units this update covers
+        (e.g. checkpoint_interval * co-optimized frames). Durations are
+        normalized to per-unit so ETA stays consistent."""
         for name, duration in durations.items():
-            self.meters[name].update(duration)
-        self.step += 1
+            self.meters[name].update(duration / max(count, 1))
+        self.step += count
 
     def keys(self):
         return self.meters.keys()
