@@ -204,12 +204,6 @@ def train(args):
     frames_per_batch = int(
         config.get("optimization", {}).get("frames_per_batch", 1)
     )
-    if cfg.photometric_weight > 0.0 and frames_per_batch > 1:
-        logger.warning(
-            "photometric loss not supported with frames_per_batch>1; "
-            "falling back to per-frame optimization"
-        )
-        frames_per_batch = 1
 
     config_dirname = os.path.dirname(args.config)
     meters = ProgressMeter(len(indices) * cfg.num_steps)

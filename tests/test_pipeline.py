@@ -104,6 +104,155 @@ def test_sharded_step_matches_shapes():
     assert np.isfinite(np.asarray(s["loss"])).all()
 
 
+def test_sharded_step_matches_single_chip_numerically():
+    """One dp x sp sharded step from identical params must reproduce the
+    single-chip train_step to f32 tolerance in deterministic mode with a
+    fixed ray schedule — in BOTH phases (box-only warmup and RDF): the
+    sp psum of masked means equals the full-ray mean, and the per-frame
+    update is independent of the mesh. Guards against silent
+    sp-reduction bugs (wrong denominator, missed psum). Single-step on
+    purpose: iterated trajectories diverge chaotically from batched
+    matmul rounding through Adam (that regime is covered at trajectory
+    level by tests/test_batched.py)."""
+    n_dev = len(jax.devices())
+    if n_dev < 4:
+        pytest.skip("needs >=4 virtual devices")
+    cfg = opt.OptimizationConfig(
+        num_steps=4, warmup_steps=2, num_rays=32, num_samples=8,
+        deterministic=True, metric_interval=2,
+    )
+    num_frames = 2
+    frames = [
+        fm.synthetic_frame(jax.random.PRNGKey(i), **TINY)
+        for i in range(num_frames)
+    ]
+    v = frames[0].num_views
+    h, w = frames[0].image_size
+    rng = np.random.default_rng(11)
+    schedule = rng.integers(
+        0, v * h * w, size=(num_frames, cfg.num_rays)
+    ).astype(np.int32)
+
+    init_keys = jax.random.split(jax.random.PRNGKey(0), num_frames)
+    mesh = sh.make_mesh(jax.devices()[:4], dp=2, sp=2)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    fb = sh.stack_frames(frames)
+    step_fn = sh.make_sharded_train_step(mesh, cfg, with_ray_schedule=True)
+
+    # Pre-run single-chip steps to break the step-0 gauge symmetry
+    # (identical box inits make the matching cost tied, and Adam's first
+    # update is +-lr regardless of gradient magnitude, so any epsilon
+    # rounding difference flips full +-lr elements). After a real step
+    # the per-instance params are distinct and the comparison is stable.
+    def prerun(upto_step):
+        states = []
+        for f in range(num_frames):
+            params = opt.init_params(init_keys[f], TINY["max_instances"], cfg)
+            tx = opt.make_optimizer(cfg, params)
+            opt_state = tx.init(params)
+            for s in range(upto_step):
+                params, opt_state, _ = opt.train_step(
+                    params, opt_state, frames[f], jnp.asarray(s),
+                    jax.random.PRNGKey(99), cfg, tx,
+                    ray_indices=jnp.asarray(schedule[f]),
+                )
+            states.append((params, opt_state, tx))
+        return states
+
+    for step in (1, cfg.warmup_steps + 1):  # box-only and RDF phases
+        states = prerun(step)
+        single = []
+        for f in range(num_frames):
+            params, opt_state, tx = states[f]
+            p1, _, scalars = opt.train_step(
+                params, opt_state, frames[f], jnp.asarray(step),
+                jax.random.PRNGKey(99), cfg, tx,
+                ray_indices=jnp.asarray(schedule[f]),
+            )
+            single.append((p1, scalars))
+
+        sharding = NamedSharding(mesh, P("dp"))
+        params_b = jax.device_put(
+            jax.tree.map(lambda *xs: jnp.stack(xs),
+                         *[s[0] for s in states]),
+            sharding,
+        )
+        opt_b = jax.device_put(
+            jax.tree.map(lambda *xs: jnp.stack(xs),
+                         *[s[1] for s in states]),
+            sharding,
+        )
+        params_b, _, scalars_b = step_fn(
+            params_b, opt_b, fb, jnp.asarray(step), jax.random.PRNGKey(99),
+            jnp.asarray(schedule),
+        )
+        use_rdf = step >= cfg.warmup_steps
+        for f in range(num_frames):
+            p_ref, s_ref = single[f]
+            for name in ("loss", "silhouette_loss", "eikonal_loss",
+                         "iou_projection_loss", "l1_projection_loss"):
+                # warmup (box-only) phase is reassociation-tight (2e-4,
+                # the tests/test_batched.py bound); the RDF phase's
+                # eikonal is bin-edge sensitive — batched matmul rounding
+                # at the ~1e-7 level can flip an inverse-CDF bracket in
+                # the hierarchical resampling and move isolated fine
+                # samples whose |grad| term shifts the small-sample mean
+                # by a few percent (the degenerate-bracket blow-up itself
+                # is clamped in inverse_transform_sampler). Structural sp
+                # bugs (missing/wrong reduction) are 2x-level and still
+                # caught.
+                rtol = 0.12 if (use_rdf and name in ("eikonal_loss", "loss")) else 2e-4
+                np.testing.assert_allclose(
+                    np.asarray(scalars_b[name])[f], np.asarray(s_ref[name]),
+                    rtol=rtol, atol=1e-6,
+                    err_msg=f"phase step {step} frame {f} {name}",
+                )
+
+        # gradient-level check (sharper than post-Adam params, whose
+        # m-hat/sqrt(v-hat) ratios amplify f32 noise early in training):
+        # the pmean-reduced sp gradients must equal the full-ray gradient.
+        def loss_sum(p, frame_arg, rays, sp_axis=None):
+            total, _ = opt.compute_loss(
+                p, frame_arg, jnp.asarray(step), jax.random.PRNGKey(99),
+                cfg, use_rdf, ray_indices=rays, sp_axis=sp_axis,
+            )
+            return jnp.sum(total)
+
+        from jax.experimental.shard_map import shard_map
+
+        grads_sharded = jax.jit(
+            shard_map(
+                lambda p, fr, rays: jax.lax.pmean(
+                    jax.grad(loss_sum)(p, fr, rays, "sp"), "sp"
+                ),
+                mesh=mesh,
+                in_specs=(P("dp"), P("dp"), P("dp")),
+                out_specs=P("dp"),
+                check_rep=False,
+            )
+        )(jax.tree.map(lambda *xs: jnp.stack(xs), *[s[0] for s in states]),
+          fb, jnp.asarray(schedule))
+        for f in range(num_frames):
+            grads_single = jax.grad(loss_sum)(
+                states[f][0], frames[f], jnp.asarray(schedule[f])
+            )
+            got = jax.tree.map(lambda x: np.asarray(x)[f], grads_sharded)
+            # Warmup (box-only) grads are reassociation-tight. RDF grads
+            # inherit the resampling bracket sensitivity (measured worst
+            # ~1.4e-2 relative to the leaf's max element after the
+            # sampler clamp); a missing/wrong sp reduction is a 2x-level
+            # error on the ray-local terms and still fails loudly.
+            rtol, ascale = (5e-2, 3e-2) if step >= cfg.warmup_steps else (1e-4, 2e-6)
+            for a, b in zip(jax.tree.leaves(got),
+                            jax.tree.leaves(grads_single)):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), rtol=rtol,
+                    atol=ascale * max(np.abs(np.asarray(b)).max(), 1e-8),
+                    err_msg=f"grads phase step {step} frame {f}",
+                )
+
+
 def test_synthetic_frame_contract(tiny_frame):
     h, w = tiny_frame.image_size
     v = tiny_frame.num_views

@@ -560,51 +560,76 @@ def compute_loss(
         and use_rdf
         and frame.gray_images is not None
     )
-    if use_photometric and batched:
-        raise NotImplementedError(
-            "photometric loss is not supported for batched (stacked) "
-            "frames — co-optimize photometric configs one frame at a time"
-        )
     if use_photometric:
         from . import photometric as photometric_mod
 
-        packed_ref = (
-            tuple(
-                hyper_field.pack_block_diagonal(
-                    field_weights,
-                    in_channels=3 * cfg.num_frequencies * 2,
-                    out_channels_list=cfg.field_channels,
+        def photo_one(decoded_f, valid_f, field_weights_f, frame_f, key_f):
+            # Per-frame body: builds the hard (argmin) field closure from
+            # this frame's decoded params and sphere-traces its surfels.
+            # Everything inside (while_loop tracer, homography warps,
+            # masked means) is a pure jit-safe function, so the batched
+            # path is just `vmap` of this over the stacked frame axis.
+            packed_ref = (
+                tuple(
+                    hyper_field.pack_block_diagonal(
+                        field_weights_f,
+                        in_channels=3 * cfg.num_frequencies * 2,
+                        out_channels_list=cfg.field_channels,
+                    )
                 )
+                if use_rdf
+                else None
             )
-            if use_rdf
-            else None
-        )
-        hard_scene_params = scene.SceneParams(
-            locations=decoded["locations"],
-            rotations=decoded["orientations"],
-            half_dimensions=decoded["dimensions"],
-            valid=frame.valid,
-            packed_weights=packed_ref,
-        )
-        hard_field = scene.hard_scene_field(
-            hard_scene_params,
-            cfg.position_scale,
-            cfg.num_frequencies,
-            cfg.field_channels,
-        )
+            hard_scene_params = scene.SceneParams(
+                locations=decoded_f["locations"],
+                rotations=decoded_f["orientations"],
+                half_dimensions=decoded_f["dimensions"],
+                valid=valid_f,
+                packed_weights=packed_ref,
+            )
+            hard_field = scene.hard_scene_field(
+                hard_scene_params,
+                cfg.position_scale,
+                cfg.num_frequencies,
+                cfg.field_channels,
+            )
+            loss, _ = photometric_mod.photometric_loss(
+                frame_f,
+                hard_field,
+                key_f,
+                num_rays=cfg.surface_num_rays,
+                num_iterations=cfg.surface_num_iterations,
+                convergence_criteria=cfg.surface_convergence_criteria,
+                bounding_radius=cfg.surface_bounding_radius,
+                patch_size=cfg.surface_patch_size,
+            )
+            return loss
+
         key_render, key_surface = jax.random.split(key_render)
-        losses["photometric_loss"], _ = photometric_mod.photometric_loss(
-            frame,
-            hard_field,
-            key_surface,
-            num_rays=cfg.surface_num_rays,
-            num_iterations=cfg.surface_num_iterations,
-            convergence_criteria=cfg.surface_convergence_criteria,
-            bounding_radius=cfg.surface_bounding_radius,
-            patch_size=cfg.surface_patch_size,
-        )
+        if batched:
+            num_frames = frame.valid.shape[0]
+            keys_surface = jax.random.split(key_surface, num_frames)
+            losses["photometric_loss"] = jax.vmap(photo_one)(
+                decoded, frame.valid, field_weights, frame, keys_surface
+            )
+        else:
+            losses["photometric_loss"] = photo_one(
+                decoded, frame.valid, field_weights, frame, key_surface
+            )
     else:
         losses["photometric_loss"] = zeros
+
+    if sp_axis is not None:
+        # The photometric branch draws per-rank surface rays (rank-folded
+        # key), so its per-rank value is NOT sp-replicated; pmean makes
+        # the reported value well-defined (a variance-reduced average)
+        # and its gradient consistent with train_step's grad pmean. The
+        # projection terms are computed identically on every sp rank and
+        # the silhouette/eikonal masked means psum their numerators, so
+        # both are already replicated values.
+        losses["photometric_loss"] = jax.lax.pmean(
+            losses["photometric_loss"], sp_axis
+        )
 
     total = (
         cfg.iou_projection_weight * losses["iou_projection_loss"]
@@ -683,6 +708,21 @@ def train_step(params, opt_state, frame, step, key, cfg, tx, ray_indices=None,
         return phase(True)(p)
 
     (_, aux), grads = jax.lax.cond(step >= cfg.warmup_steps, post, warm, params)
+
+    if sp_axis is not None:
+        # Per-rank reverse AD through the sp collectives yields, for the
+        # ray-local (silhouette/eikonal) terms, S x the local ray shard's
+        # contribution (psum transposes to psum: the replicated cotangent
+        # comes back multiplied by the axis size), while the
+        # sp-replicated projection terms yield the full gradient on every
+        # rank. pmean over sp therefore reconstructs the exact
+        # single-chip gradient for BOTH: (1/S) * sum_r (S * local_r) =
+        # true ray sum, and the mean of identical replicated grads is
+        # itself. It also makes every rank's optimizer update identical,
+        # as the caller's out-specs assume (they drop the sp axis
+        # unchecked). Verified against the single-chip gradient in
+        # tests/test_pipeline.py::test_sharded_step_matches_single_chip.
+        grads = jax.lax.pmean(grads, sp_axis)
 
     updates, opt_state = tx.update(grads, opt_state, params)
     params = optax.apply_updates(params, updates)

@@ -58,6 +58,17 @@ def inverse_transform_sampler(
             key, (*cdf.shape[:-1], num_samples), dtype=cdf.dtype
         )
         uniform = jnp.sort(uniform, axis=-1)
+    # Keep u inside the realized CDF range. cdf[-1] is ~1.0 only up to
+    # rounding; a u above it (linspace's exact 1.0 endpoint — every ray,
+    # every step in deterministic mode) would pair with a clipped index
+    # whose bracket no longer contains u, making t's numerator the
+    # chaotic residual (1.0 - cdf[-1]) ~ 1e-7 against the 1e-6 guard
+    # denominator — the last fine sample of every ray then jumps O(bin)
+    # with compilation-dependent rounding. (The reference's searchsorted
+    # hits the same knife edge only when torch.rand lands within
+    # rounding of 1.0; clipping only alters cases where the reference
+    # itself is unstable.)
+    uniform = jnp.minimum(uniform, cdf[..., -1:])
 
     # Batched searchsorted(side="left") as a dense comparison-count:
     # i = #\{cdf < u\}. A dense [S x K] reduction maps onto the VPU far
@@ -86,4 +97,9 @@ def inverse_transform_sampler(
     max_cdf, max_bins = nxt[..., 0], nxt[..., 1]
 
     t = (uniform - min_cdf) / (max_cdf - min_cdf + 1e-6)
+    # With u clipped into the CDF range t is already in [0, 1) wherever
+    # the bracket is proper; the clamp only binds on degenerate brackets
+    # (near-zero-mass bins), where it pins the sample inside its bin
+    # instead of extrapolating along a ~1e6-amplified direction.
+    t = jnp.clip(t, 0.0, 1.0)
     return min_bins + (max_bins - min_bins) * t
