@@ -78,8 +78,11 @@ def trial_inputs(args, scene_seed, trial):
     return frame, scene, schedule, init
 
 
-def run_path(scene_seed, trial, side):
-    return os.path.join(RUNS_DIR, f"s{scene_seed}_t{trial}_{side}.json")
+def run_path(scene_seed, trial, side, tag=""):
+    suffix = f"_{tag}" if tag else ""
+    return os.path.join(
+        RUNS_DIR, f"s{scene_seed}_t{trial}_{side}{suffix}.json"
+    )
 
 
 def save_run(path, boxes, scene, args, elapsed):
@@ -113,7 +116,7 @@ def run_torch_side(args):
     cfg = make_cfg(args)
     for scene_seed in args.scenes:
         for trial in range(args.trials):
-            path = run_path(scene_seed, trial, "torch")
+            path = run_path(scene_seed, trial, "torch", args.tag)
             if os.path.exists(path):
                 print(f"skip existing {path}", flush=True)
                 continue
@@ -137,7 +140,7 @@ def run_ours_side(args):
     cfg = make_cfg(args)
     for scene_seed in args.scenes:
         for trial in range(args.trials):
-            path = run_path(scene_seed, trial, "ours")
+            path = run_path(scene_seed, trial, "ours", args.tag)
             if os.path.exists(path):
                 print(f"skip existing {path}", flush=True)
                 continue
@@ -163,7 +166,7 @@ def summarize(args):
         for trial in range(args.trials):
             sides = {}
             for side in ("torch", "ours"):
-                path = run_path(scene_seed, trial, side)
+                path = run_path(scene_seed, trial, side, args.tag)
                 if not os.path.exists(path):
                     continue
                 with open(path) as f:
@@ -194,7 +197,7 @@ def summarize(args):
         }
         report["scenes"][str(scene_seed)] = entry
     print(json.dumps(report, indent=2))
-    out = os.path.join(_HERE, "NOISE_FLOOR.json")
+    out = os.path.join(_HERE, f"NOISE_FLOOR{'_' + args.tag if args.tag else ''}.json")
     with open(out, "w") as f:
         json.dump(report, f, indent=2)
     return report
@@ -211,6 +214,7 @@ def main():
     parser.add_argument("--views", type=int, default=6)
     parser.add_argument("--instances", type=int, default=3)
     parser.add_argument("--trials", type=int, default=3)
+    parser.add_argument("--tag", default="", help="suffix for run files (recipe variants)")
     parser.add_argument(
         "--scenes", type=lambda s: [int(x) for x in s.split(",")],
         default=[0, 7],

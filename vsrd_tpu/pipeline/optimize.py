@@ -389,11 +389,18 @@ def compute_loss(
             decoded, frame.valid, field_weights
         )
 
-        tile = (
-            (cfg.pallas_tile, cfg.pallas_bwd_tile)
-            if use_rdf
-            else (cfg.pallas_box_tile, cfg.pallas_box_tile)
-        )
+        if use_rdf:
+            # The reverse kernel's recompute residuals are per-group slabs
+            # ([C, tile]-sized chains per instance group), so its VMEM
+            # footprint scales with groups x tile: 1 group x 2048 fits the
+            # 100 MB scoped budget with headroom, 3 x 2048 overflows it by
+            # ~10%. Cap groups x tile at 5120 (empirical, v5e) and keep
+            # the tile a 256 multiple.
+            num_groups = n8 // fused_field.group_size_of(n8)
+            bwd_cap = max(256, (5120 // num_groups) // 256 * 256)
+            tile = (cfg.pallas_tile, min(cfg.pallas_bwd_tile, bwd_cap))
+        else:
+            tile = (cfg.pallas_box_tile, cfg.pallas_box_tile)
 
         def field_with_grad(positions):
             shape = positions.shape[:-1]     # (F, R, S) or (R, S)
