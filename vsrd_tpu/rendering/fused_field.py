@@ -43,6 +43,22 @@ def _gelu_exact(x):
     return 0.5 * x * (1.0 + _erf(x * (1.0 / math.sqrt(2.0))))
 
 
+def _gelu_cdf_pdf(y):
+    """(Phi(y), phi(y)) sharing ONE exp: the A-S erf polynomial's
+    exp(-(y/sqrt2)^2) term equals sqrt(2 pi) * phi(y), so the normal
+    pdf the GELU tangent chains need comes for free."""
+    ax = jnp.abs(y) * (1.0 / math.sqrt(2.0))
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = t * (
+        0.254829592
+        + t * (-0.284496736 + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429)))
+    )
+    e = jnp.exp(-ax * ax)
+    cdf = 0.5 * (1.0 + jnp.sign(y) * (1.0 - poly * e))
+    pdf = e * (1.0 / math.sqrt(2.0 * math.pi))
+    return cdf, pdf
+
+
 def enc_permutation(num_frequencies: int = 8, num_dims: int = 3):
     """Map scene_eval's (k, cos/sin, dim)-ordered encoding channels to
     reference channels (dim, k, cos/sin): ``perm[c_kernel] = c_ref``."""
@@ -300,9 +316,7 @@ def _instance_distance_with_tangents_t(pos_t, loc_n, rot_n, half_n,
                     tc = tx - jnp.mean(tx, axis=0, keepdims=True)
                     proj = jnp.mean(centered * tc, axis=0, keepdims=True)
                     new_t.append(inv_std * (tc - y * inv_std * proj))
-                inv_sqrt2 = 1.0 / math.sqrt(2.0)
-                cdf = 0.5 * (1.0 + _erf(y * inv_sqrt2))
-                pdf = jnp.exp(-0.5 * y * y) * (1.0 / math.sqrt(2.0 * math.pi))
+                cdf, pdf = _gelu_cdf_pdf(y)
                 x = y * cdf
                 dgelu = cdf + y * pdf
                 t_x = tuple(dgelu * tc for tc in new_t)
@@ -408,6 +422,44 @@ def scene_eval_manual_grad(positions, locations, rotations, half_dims, valid,
 # a static sum over 16 slabs and the matmul is [C_out*N, (C_in+1)*N] @
 # [(C_in+1)*N, 4T] (~128x392 @ 392x4T: MXU-shaped).
 # ---------------------------------------------------------------------------
+
+
+def _encoding_trig(sym, num_frequencies: int, fast: bool):
+    """[(cos, sin)] per (k, d) in k-major order for phases
+    ``sym[d] * pi * 2**k``.
+
+    ``fast=True`` evaluates exact sin/cos only at anchor frequencies
+    (k % 4 == 0) and fills the rest with the double-angle recurrence
+    (c' = 2c^2 - 1, s' = 2sc): 12 transcendentals instead of 48 per
+    tile at the default 8 frequencies. Error compounds ~2.8x per
+    doubling from the nearest anchor (<= 3 levels), measured max abs
+    error ~1.5e-6 at k=7 — well inside the default-precision kernel's
+    existing bf16-matmul error budget (~4e-3 m SDF, NOTES.md). The
+    'highest' parity mode keeps exact sin/cos everywhere.
+    """
+    if not fast:
+        return [
+            (
+                jnp.cos(sym[d] * (math.pi * 2.0**k)),
+                jnp.sin(sym[d] * (math.pi * 2.0**k)),
+            )
+            for k in range(num_frequencies)
+            for d in range(3)
+        ]
+    per_dim = []
+    for d in range(3):
+        chain = []
+        for k in range(num_frequencies):
+            if k % 4 == 0:
+                phase = sym[d] * (math.pi * 2.0**k)
+                c, s = jnp.cos(phase), jnp.sin(phase)
+            else:
+                cp, sp = chain[-1]
+                c = 2.0 * cp * cp - 1.0
+                s = 2.0 * sp * cp
+            chain.append((c, s))
+        per_dim.append(chain)
+    return [per_dim[d][k] for k in range(num_frequencies) for d in range(3)]
 
 
 def group_size_of(num_instances: int) -> int:
@@ -566,18 +618,24 @@ def _group_distances(pos_t, dirs, locations, rotations, half_dims, mats_g,
         )
 
         # channel-major slabs: rows c*n+i; order (k, cos/sin, dim)
+        trig = _encoding_trig(
+            sym, statics.num_frequencies,
+            fast=statics.matmul_precision != "highest",
+        )
         chunks = []
         t_chunks = [[] for _ in range(k_tangents)]
+        idx = 0
         for k in range(statics.num_frequencies):
             f = math.pi * (2.0**k)
             for d in range(3):
-                phase = sym[d] * f
-                c_, s_ = jnp.cos(phase), jnp.sin(phase)
+                c_, s_ = trig[idx]
+                idx += 1
                 chunks.append(c_)
                 chunks.append(s_)
                 for j in range(k_tangents):
-                    t_chunks[j].append(-s_ * (f * t_sym[j][d]))
-                    t_chunks[j].append(c_ * (f * t_sym[j][d]))
+                    ft = f * t_sym[j][d]
+                    t_chunks[j].append(-s_ * ft)
+                    t_chunks[j].append(c_ * ft)
         x = jnp.concatenate(chunks, axis=0)                     # [48n, T]
         t_x = tuple(jnp.concatenate(tc, axis=0) for tc in t_chunks)
 
@@ -609,9 +667,7 @@ def _group_distances(pos_t, dirs, locations, rotations, half_dims, mats_g,
                     new_t.append(
                         inv_std_t * (tc - y * inv_std_t * jnp.tile(proj, (c_in, 1)))
                     )
-                inv_sqrt2 = 1.0 / math.sqrt(2.0)
-                cdf = 0.5 * (1.0 + _erf(y * inv_sqrt2))
-                pdf = jnp.exp(-0.5 * y * y) * (1.0 / math.sqrt(2.0 * math.pi))
+                cdf, pdf = _gelu_cdf_pdf(y)
                 x = y * cdf
                 dgelu = cdf + y * pdf
                 t_x = tuple(dgelu * tc for tc in new_t)
@@ -824,17 +880,22 @@ def _group_dir_fwd_res(pos_t, dirs, locations, rotations, half_dims, mats_g,
         tsym = (sign_l[0] * vloc[0] * inv_scale, vloc[1] * inv_scale,
                 vloc[2] * inv_scale)
         res["tsym"] = tsym
-        chunks, t_chunks, trig = [], [], []
+        trig = _encoding_trig(
+            sym, statics.num_frequencies,
+            fast=statics.matmul_precision != "highest",
+        )
+        chunks, t_chunks = [], []
+        idx = 0
         for k in range(statics.num_frequencies):
             f = math.pi * (2.0**k)
             for d in range(3):
-                phase = sym[d] * f
-                c_, s_ = jnp.cos(phase), jnp.sin(phase)
-                trig.append((c_, s_))
+                c_, s_ = trig[idx]
+                idx += 1
                 chunks.append(c_)
                 chunks.append(s_)
-                t_chunks.append(-s_ * (f * tsym[d]))
-                t_chunks.append(c_ * (f * tsym[d]))
+                ft = f * tsym[d]
+                t_chunks.append(-s_ * ft)
+                t_chunks.append(c_ * ft)
         res["trig"] = trig
         x = jnp.concatenate(chunks, axis=0)                      # [48n, T]
         tx = jnp.concatenate(t_chunks, axis=0)
@@ -863,8 +924,7 @@ def _group_dir_fwd_res(pos_t, dirs, locations, rotations, half_dims, mats_g,
                     cs * (ts - t_mean) for cs, ts in zip(c_slabs, tx_slabs)
                 ) / c_in
                 ty = istd_t * (tc - y * istd_t * jnp.tile(proj, (c_in, 1)))
-                cdf = 0.5 * (1.0 + _erf(y * _INV_SQRT2))
-                pdf = jnp.exp(-0.5 * y * y) * _INV_SQRT2PI
+                cdf, pdf = _gelu_cdf_pdf(y)
                 res["ln"].append(
                     {"y": y, "istd": istd, "tc": tc, "proj": proj,
                      "cdf": cdf, "pdf": pdf, "ty": ty, "c_in": c_in}
