@@ -66,7 +66,8 @@ def trial_inputs(args, scene_seed, trial):
     from vsrd_tpu.pipeline import optimize as opt
 
     frame, scene = rp.build_scene(
-        args.views, (96, 128), args.instances, seed=scene_seed
+        args.views, (args.height, args.width), args.instances,
+        seed=scene_seed,
     )
     schedule = rp.ray_schedule(
         scene, args.steps, args.rays, seed=1234 + 1000 * trial
@@ -214,6 +215,8 @@ def main():
     parser.add_argument("--views", type=int, default=6)
     parser.add_argument("--instances", type=int, default=3)
     parser.add_argument("--trials", type=int, default=3)
+    parser.add_argument("--height", type=int, default=96)
+    parser.add_argument("--width", type=int, default=128)
     parser.add_argument("--tag", default="", help="suffix for run files (recipe variants)")
     parser.add_argument(
         "--scenes", type=lambda s: [int(x) for x in s.split(",")],
