@@ -26,5 +26,12 @@ jax.config.update("jax_enable_x64", False)
 
 # Persistent compilation cache: the suite is compile-bound (every test
 # jits fresh graphs); re-runs hit the cache instead of recompiling.
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_vsrd_tests")
+# Exported as env vars (not just jax.config) so the tool-CLI
+# subprocesses the e2e tests spawn share the same cache — repeated tool
+# invocations then compile once even on a cold run.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_vsrd_tests")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
+jax.config.update(
+    "jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"]
+)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

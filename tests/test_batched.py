@@ -45,6 +45,12 @@ def _fixed_rays(num_frames, num_rays):
     )
 
 
+# jit wrapper: the eager (op-by-op) CPU evaluation of the full loss
+# graph dominated the suite's runtime; jitting compiles once per phase
+# and lands in the persistent cache for later runs
+_loss_jit = jax.jit(opt.compute_loss, static_argnums=(4, 5))
+
+
 @pytest.mark.parametrize("use_rdf", [False, True])
 def test_batched_compute_loss_matches_single(two_frames, det_cfg, use_rdf):
     """Batched losses equal per-frame losses on a fixed ray schedule."""
@@ -55,13 +61,13 @@ def test_batched_compute_loss_matches_single(two_frames, det_cfg, use_rdf):
     fb = sh.stack_frames(two_frames)
     step = jnp.asarray(5 if use_rdf else 1)
 
-    total_b, aux_b = opt.compute_loss(
+    total_b, aux_b = _loss_jit(
         params, fb, step, key, cfg, use_rdf, ray_indices=ray_idx
     )
     assert total_b.shape == (2,)
     for f in range(2):
         p_f = jax.tree.map(lambda x: x[f], params)
-        total_s, aux_s = opt.compute_loss(
+        total_s, aux_s = _loss_jit(
             p_f, two_frames[f], step, key, cfg, use_rdf,
             ray_indices=ray_idx[f],
         )
@@ -96,19 +102,21 @@ def test_batched_train_step_grads_are_per_frame(two_frames, det_cfg):
         )
         return jnp.sum(total)
 
-    grads_b = jax.grad(batched_loss)(params)
+    grads_b = jax.jit(jax.grad(batched_loss))(params)
 
-    for f in range(2):
-        p_f = jax.tree.map(lambda x: x[f], params)
-
+    @jax.jit
+    def single_grads(p, frame, rays):
         def single_loss(p):
             total, _ = opt.compute_loss(
-                p, two_frames[f], step, key, cfg, True,
-                ray_indices=ray_idx[f],
+                p, frame, step, key, cfg, True, ray_indices=rays
             )
             return total
 
-        grads_s = jax.grad(single_loss)(p_f)
+        return jax.grad(single_loss)(p)
+
+    for f in range(2):
+        p_f = jax.tree.map(lambda x: x[f], params)
+        grads_s = single_grads(p_f, two_frames[f], ray_idx[f])
         for a, b in zip(jax.tree.leaves(grads_b), jax.tree.leaves(grads_s)):
             np.testing.assert_allclose(
                 np.asarray(a)[f], np.asarray(b), rtol=2e-4, atol=1e-6

@@ -27,13 +27,38 @@ SMALL = dict(num_queries=8, hidden_dim=32, num_encoder_layers=1,
              num_decoder_layers=1, num_heads=4)
 
 
+# Module-scoped jitted fixtures: init/apply of the same small model are
+# shared across tests and compiled once (eager flax apply on CPU was a
+# top-5 suite cost).
+@pytest.fixture(scope="module")
+def batch():
+    return _batch()
+
+
+@pytest.fixture(scope="module")
+def detr_setup(batch):
+    model = detr3d.DETR3D(**SMALL)
+    images, intrinsics, *_ = batch
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), images, intrinsics)
+    out = jax.jit(model.apply)(params, images, intrinsics)
+    return model, params, out
+
+
+@pytest.fixture(scope="module")
+def deform_setup(batch):
+    model = detr3d.DeformableDETR3D(**SMALL, num_samples=4)
+    images, intrinsics, *_ = batch
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), images, intrinsics)
+    out_aux = jax.jit(
+        lambda p, im, k: model.apply(p, im, k, aux_outputs=True)
+    )(params, images, intrinsics)
+    return model, params, out_aux
+
+
 class TestDETR3D:
     @pytest.mark.slow
-    def test_forward_shapes(self):
-        model = detr3d.DETR3D(**SMALL)
-        images, intrinsics, *_ = _batch()
-        params = model.init(jax.random.PRNGKey(0), images, intrinsics)
-        out = model.apply(params, images, intrinsics)
+    def test_forward_shapes(self, detr_setup):
+        _, _, out = detr_setup
         assert out["logits"].shape == (2, 8, 2)
         assert out["boxes_2d"].shape == (2, 8, 4)
         assert out["boxes_3d"].shape == (2, 8, 8, 3)
@@ -41,18 +66,15 @@ class TestDETR3D:
         # 3D locations are in front of the camera (positive depth)
         assert np.asarray(out["locations"][..., 2]).min() > 0
 
-    def test_deformable_forward_shapes(self):
-        model = detr3d.DeformableDETR3D(**SMALL, num_samples=4)
-        images, intrinsics, *_ = _batch()
-        params = model.init(jax.random.PRNGKey(0), images, intrinsics)
-        out = model.apply(params, images, intrinsics)
+    def test_deformable_forward_shapes(self, deform_setup):
+        _, _, out = deform_setup
         assert out["boxes_3d"].shape == (2, 8, 8, 3)
 
     @pytest.mark.slow
-    def test_loss_and_grad_step_improves(self):
+    def test_loss_and_grad_step_improves(self, batch):
         model = detr3d.DETR3D(**SMALL)
-        images, intrinsics, labels, boxes_2d, boxes_3d, valid = _batch()
-        params = model.init(jax.random.PRNGKey(0), images, intrinsics)
+        images, intrinsics, labels, boxes_2d, boxes_3d, valid = batch
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), images, intrinsics)
         tx = optax.adam(3e-3)
         opt_state = tx.init(params)
 
@@ -76,32 +98,32 @@ class TestDETR3D:
         # early steps churn through matching changes; compare phases
         assert np.mean(losses[-5:]) < np.mean(losses[:5])
 
-    def test_aux_outputs_and_losses(self):
+    def test_aux_outputs_and_losses(self, batch):
         # aux decoder losses: same heads applied to every intermediate
         # decoder layer (reference detr.py:213-229)
         model = detr3d.DETR3D(**{**SMALL, "num_decoder_layers": 3})
-        images, intrinsics, labels, boxes_2d, boxes_3d, valid = _batch()
-        params = model.init(jax.random.PRNGKey(0), images, intrinsics)
-        out = model.apply(params, images, intrinsics, aux_outputs=True)
+        images, intrinsics, labels, boxes_2d, boxes_3d, valid = batch
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), images, intrinsics)
+        out = jax.jit(
+            lambda p, im, k: model.apply(p, im, k, aux_outputs=True)
+        )(params, images, intrinsics)
         assert len(out["aux_outputs"]) == 2  # layers 0..L-2
         for aux in out["aux_outputs"]:
             assert aux["logits"].shape == out["logits"].shape
             assert aux["boxes_3d"].shape == out["boxes_3d"].shape
-        total_aux, scalars = detr3d.detr_loss(
+        total_aux, scalars = jax.jit(detr3d.detr_loss)(
             out, labels, boxes_2d, boxes_3d, valid
         )
         assert "aux0_class_loss" in scalars and "aux1_box_loss" in scalars
         out_plain = {k: v for k, v in out.items() if k != "aux_outputs"}
-        total_plain, _ = detr3d.detr_loss(
+        total_plain, _ = jax.jit(detr3d.detr_loss)(
             out_plain, labels, boxes_2d, boxes_3d, valid
         )
         assert float(total_aux) > float(total_plain)  # aux terms added
 
-    def test_deformable_reference_points_and_focal(self):
-        model = detr3d.DeformableDETR3D(**SMALL, num_samples=4)
-        images, intrinsics, labels, boxes_2d, boxes_3d, valid = _batch()
-        params = model.init(jax.random.PRNGKey(0), images, intrinsics)
-        out = model.apply(params, images, intrinsics, aux_outputs=True)
+    def test_deformable_reference_points_and_focal(self, batch, deform_setup):
+        _, _, out = deform_setup
+        _, _, labels, boxes_2d, boxes_3d, valid = batch
         assert out["reference_points"].shape == (2, 8, 2)
         assert ((out["reference_points"] >= 0) & (out["reference_points"] <= 1)).all()
         loss, scalars = detr3d.detr_loss(
@@ -109,11 +131,9 @@ class TestDETR3D:
         )
         assert np.isfinite(float(loss))
 
-    def test_parameter_groups(self):
+    def test_parameter_groups(self, deform_setup):
         # per-subsystem groups mirror deformable_detr.py:209-305
-        model = detr3d.DeformableDETR3D(**SMALL, num_samples=4)
-        images, intrinsics, *_ = _batch()
-        params = model.init(jax.random.PRNGKey(0), images, intrinsics)
+        _, params, _ = deform_setup
         labels_tree = detr3d.parameter_group_labels(params)
         groups = set(jax.tree.leaves(labels_tree))
         assert {"backbone", "heads", "transformer", "reference_points"} <= groups
@@ -128,7 +148,7 @@ class TestDETR3D:
         )
         opt_state = tx.init(params)
         grads = jax.tree.map(jnp.ones_like, params)
-        updates, _ = tx.update(grads, opt_state, params)
+        updates, _ = jax.jit(tx.update)(grads, opt_state, params)
         # backbone updates scaled ~1e-5, heads ~1e-4
         def first_leaf(tree, group):
             for path, g in flat:
@@ -141,11 +161,9 @@ class TestDETR3D:
 
         assert first_leaf(updates, "backbone") < first_leaf(updates, "heads")
 
-    def test_loss_respects_validity(self):
-        model = detr3d.DETR3D(**SMALL)
-        images, intrinsics, labels, boxes_2d, boxes_3d, valid = _batch()
-        params = model.init(jax.random.PRNGKey(0), images, intrinsics)
-        out = model.apply(params, images, intrinsics)
+    def test_loss_respects_validity(self, batch, detr_setup):
+        _, _, out = detr_setup
+        _, _, labels, boxes_2d, boxes_3d, valid = batch
         _, aux_all = detr3d.detr_loss(out, labels, boxes_2d, boxes_3d, valid)
         _, aux_none = detr3d.detr_loss(
             out, labels, boxes_2d, boxes_3d, jnp.zeros_like(valid)

@@ -15,6 +15,13 @@ from vsrd_tpu.rendering import fused_field as ff
 from vsrd_tpu.rendering import pallas_field as pf
 from vsrd_tpu.rendering import scene as scene_mod
 
+# jitted wrappers (shared compile across tests + persistent cache; the
+# statically-unrolled evaluators are expensive to dispatch op-by-op)
+_scene_eval = jax.jit(ff.scene_eval, static_argnums=(7,))
+_manual_grad = jax.jit(ff.scene_eval_manual_grad, static_argnums=(7,))
+_stacked = jax.jit(ff.scene_eval_stacked, static_argnums=(7,))
+_dir_bwd = jax.jit(ff.scene_eval_stacked_dir_bwd, static_argnums=(8,))
+
 
 @pytest.fixture(scope="module")
 def setup():
@@ -46,7 +53,7 @@ def _ground_truth(setup):
     sp = scene_mod.SceneParams(
         loc, rot, half, valid.astype(bool), packed_weights=packed
     )
-    return scene_mod.soft_scene_field(sp, 0.5)(pos)
+    return jax.jit(scene_mod.soft_scene_field(sp, 0.5))(pos)
 
 
 def test_scene_eval_matches_ground_truth(setup):
@@ -54,7 +61,7 @@ def test_scene_eval_matches_ground_truth(setup):
     u_gt, w_gt = _ground_truth(setup)
     layers = ff.split_field_layers(w)
     statics = ff.FieldStatics(num_instances=n, field_dtype=None)
-    u, wts = ff.scene_eval(pos, loc, rot, half, valid, layers, 0.5, statics)
+    u, wts = _scene_eval(pos, loc, rot, half, valid, layers, 0.5, statics)
     np.testing.assert_allclose(np.asarray(u), np.asarray(u_gt), atol=1e-4)
     np.testing.assert_allclose(np.asarray(wts), np.asarray(w_gt), atol=1e-5)
 
@@ -63,6 +70,8 @@ def test_manual_grad_matches_linearize(setup):
     n, pos, loc, rot, half, valid, w = setup
     layers = ff.split_field_layers(w)
     statics = ff.FieldStatics(num_instances=n, field_dtype=None)
+    # eager on purpose: jitting the linearize-based evaluator costs
+    # more to compile than these 96-point evals cost to dispatch
     u0, w0, g0 = ff.scene_eval_with_grad(
         pos, loc, rot, half, valid, layers, 0.5, statics
     )
@@ -78,12 +87,13 @@ def test_stacked_matches_ground_truth(setup):
     u_gt, w_gt = _ground_truth(setup)
     mats = ff.build_interleaved_layers(w)
     statics = ff.FieldStatics(num_instances=n, field_dtype=None)
-    u, wts, g = ff.scene_eval_stacked(
+    u, wts, g = _stacked(
         pos, loc, rot, half, valid, mats, 0.5, statics
     )
     np.testing.assert_allclose(np.asarray(u), np.asarray(u_gt), atol=1e-4)
     np.testing.assert_allclose(np.asarray(wts), np.asarray(w_gt), atol=1e-5)
-    # gradients vs linearize reference
+    # gradients vs linearize reference (eager: see
+    # test_manual_grad_matches_linearize for why this path isn't jitted)
     layers = ff.split_field_layers(w)
     _, _, g_ref = ff.scene_eval_with_grad(
         pos, loc, rot, half, valid, layers, 0.5, statics
@@ -94,10 +104,10 @@ def test_stacked_matches_ground_truth(setup):
 def test_stacked_box_only(setup):
     n, pos, loc, rot, half, valid, w = setup
     statics = ff.FieldStatics(num_instances=n, use_rdf=False, field_dtype=None)
-    u0, w0, g0 = ff.scene_eval_manual_grad(
+    u0, w0, g0 = _manual_grad(
         pos, loc, rot, half, valid, (), 0.5, statics
     )
-    u1, w1, g1 = ff.scene_eval_stacked(pos, loc, rot, half, valid, (), 0.5, statics)
+    u1, w1, g1 = _stacked(pos, loc, rot, half, valid, (), 0.5, statics)
     np.testing.assert_allclose(np.asarray(u0), np.asarray(u1), atol=1e-5)
     np.testing.assert_allclose(np.asarray(g0), np.asarray(g1), atol=1e-5)
 
@@ -133,8 +143,12 @@ def _vjp_reference_cotangents(setup, statics, mats, du, dw, dg, temp=0.5):
             pos.T, dg.T, loc, rot, half, valid[:, None], mats, temp, statics
         )
 
-    (u, wts, udot), vjp_fn = jax.vjp(f, loc, rot, half, mats)
-    return vjp_fn((du[None, :], dw.T, jnp.ones_like(udot)))
+    @jax.jit
+    def run(loc, rot, half, mats, du, dw):
+        (u, wts, udot), vjp_fn = jax.vjp(f, loc, rot, half, mats)
+        return vjp_fn((du[None, :], dw.T, jnp.ones_like(udot)))
+
+    return run(loc, rot, half, mats, du, dw)
 
 
 @pytest.mark.parametrize("use_rdf", [True, False])
@@ -154,7 +168,7 @@ def test_manual_dir_bwd_matches_vjp(setup, use_rdf):
     mats = ff.build_interleaved_layers(w) if use_rdf else ()
 
     ref = _vjp_reference_cotangents(setup, statics, mats, du, dw, dg)
-    got = ff.scene_eval_stacked_dir_bwd(
+    got = _dir_bwd(
         pos, dg, loc, rot, half, valid, mats, 0.5, statics, du, dw
     )
     for name, a, b in zip(("dloc", "drot", "dhalf"), got, ref):
@@ -202,7 +216,7 @@ def test_manual_dir_bwd_multi_group():
     ref = _vjp_reference_cotangents(
         (n, pos, loc, rot, half, valid, w), statics, mats, du, dw, dg
     )
-    got = ff.scene_eval_stacked_dir_bwd(
+    got = _dir_bwd(
         pos, dg, loc, rot, half, valid, mats, 0.5, statics, du, dw
     )
     for name, a, b in zip(("dloc", "drot", "dhalf"), got, ref):
@@ -286,6 +300,8 @@ def test_stacked_multi_group_matches_ground_truth(n):
 
     mats = ff.build_interleaved_layers(w)
     assert mats[0].shape[0] == n // 8       # group-stacked layout
+    # eager on purpose: the unrolled N=16/24 graph compiles slower
+    # than it dispatches eagerly at this tiny point count
     u, wts, _ = ff.scene_eval_stacked(pos, loc, rot, half, valid, mats, 0.5, statics)
     np.testing.assert_allclose(np.asarray(u), np.asarray(u_gt), atol=2e-5)
     np.testing.assert_allclose(np.asarray(wts), np.asarray(w_gt), atol=2e-5)

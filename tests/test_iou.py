@@ -177,7 +177,9 @@ class TestIoU3D:
                 _make_box_corners(9, 0, 0, 2, 2, 2, 0.0),
             ]
         )
-        iou_3d, iou_bev = jax.vmap(iou3d.box_3d_iou)(jnp.asarray(a), jnp.asarray(b))
+        iou_3d, iou_bev = jax.jit(jax.vmap(iou3d.box_3d_iou))(
+            jnp.asarray(a), jnp.asarray(b)
+        )
         np.testing.assert_allclose(
             np.asarray(iou_3d), [1.0, 4 / 12, 0.0], atol=1e-4
         )

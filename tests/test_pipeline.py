@@ -140,6 +140,17 @@ def test_sharded_step_matches_single_chip_numerically():
     fb = sh.stack_frames(frames)
     step_fn = sh.make_sharded_train_step(mesh, cfg, with_ray_schedule=True)
 
+    # single jitted single-chip step (train_step conds on the phase
+    # internally, so ONE compile covers warmup and RDF; the eager
+    # alternative re-dispatches the whole loss graph op-by-op)
+    @jax.jit
+    def step_jit(params, opt_state, frame, step, rays):
+        tx = opt.make_optimizer(cfg, params)
+        return opt.train_step(
+            params, opt_state, frame, step, jax.random.PRNGKey(99), cfg,
+            tx, ray_indices=rays,
+        )
+
     # Pre-run single-chip steps to break the step-0 gauge symmetry
     # (identical box inits make the matching cost tied, and Adam's first
     # update is +-lr regardless of gradient magnitude, so any epsilon
@@ -152,10 +163,9 @@ def test_sharded_step_matches_single_chip_numerically():
             tx = opt.make_optimizer(cfg, params)
             opt_state = tx.init(params)
             for s in range(upto_step):
-                params, opt_state, _ = opt.train_step(
+                params, opt_state, _ = step_jit(
                     params, opt_state, frames[f], jnp.asarray(s),
-                    jax.random.PRNGKey(99), cfg, tx,
-                    ray_indices=jnp.asarray(schedule[f]),
+                    jnp.asarray(schedule[f]),
                 )
             states.append((params, opt_state, tx))
         return states
@@ -164,11 +174,10 @@ def test_sharded_step_matches_single_chip_numerically():
         states = prerun(step)
         single = []
         for f in range(num_frames):
-            params, opt_state, tx = states[f]
-            p1, _, scalars = opt.train_step(
+            params, opt_state, _ = states[f]
+            p1, _, scalars = step_jit(
                 params, opt_state, frames[f], jnp.asarray(step),
-                jax.random.PRNGKey(99), cfg, tx,
-                ray_indices=jnp.asarray(schedule[f]),
+                jnp.asarray(schedule[f]),
             )
             single.append((p1, scalars))
 
@@ -212,6 +221,13 @@ def test_sharded_step_matches_single_chip_numerically():
         # gradient-level check (sharper than post-Adam params, whose
         # m-hat/sqrt(v-hat) ratios amplify f32 noise early in training):
         # the pmean-reduced sp gradients must equal the full-ray gradient.
+        # RDF phase only: it strictly contains the warmup phase's
+        # reduction structure (plus eikonal), and a warmup-phase sp bug
+        # would already fail the 2e-4 scalars check above; skipping the
+        # warmup-phase grad pass saves one shard_map grad compile.
+        if not use_rdf:
+            continue
+
         def loss_sum(p, frame_arg, rays, sp_axis=None):
             total, _ = opt.compute_loss(
                 p, frame_arg, jnp.asarray(step), jax.random.PRNGKey(99),
@@ -233,8 +249,14 @@ def test_sharded_step_matches_single_chip_numerically():
             )
         )(jax.tree.map(lambda *xs: jnp.stack(xs), *[s[0] for s in states]),
           fb, jnp.asarray(schedule))
+        # jitted (eager per-op grad evaluation of the full loss graph is
+        # the expensive way to do this on CPU; one compile, reused
+        # across frames)
+        single_grad_fn = jax.jit(
+            lambda p, fr, rays: jax.grad(loss_sum)(p, fr, rays)
+        )
         for f in range(num_frames):
-            grads_single = jax.grad(loss_sum)(
+            grads_single = single_grad_fn(
                 states[f][0], frames[f], jnp.asarray(schedule[f])
             )
             got = jax.tree.map(lambda x: np.asarray(x)[f], grads_sharded)

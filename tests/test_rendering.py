@@ -110,7 +110,7 @@ class TestRenderer:
         field = scene.soft_scene_field(sc, temperature=0.1)
         origins = jnp.zeros((2, 3))
         directions = jnp.asarray([[0.0, 0.0, 1.0], [0.0, 1.0, 0.0]])
-        out = renderer.hierarchical_render(
+        out = jax.jit(lambda: renderer.hierarchical_render(
             field,
             origins,
             directions,
@@ -119,7 +119,7 @@ class TestRenderer:
             sdf_std_deviation=0.1,
             cosine_ratio=1.0,
             deterministic=True,
-        )
+        ))()
         probs = np.asarray(out.features)
         # ray 0 pierces the box -> instance 0 probability ~ 1
         assert probs[0, 0] > 0.9
@@ -134,7 +134,7 @@ class TestRenderer:
         field = scene.soft_scene_field(sc, temperature=0.1)
         origins = jnp.zeros((1, 3))
         directions = jnp.asarray([[0.0, 0.0, 1.0]])
-        out = renderer.render_rays(
+        out = jax.jit(lambda: renderer.render_rays(
             field,
             origins,
             directions,
@@ -142,7 +142,7 @@ class TestRenderer:
             num_samples=32,
             sdf_std_deviation=0.1,
             deterministic=True,
-        )
+        ))()
         norms = np.linalg.norm(np.asarray(out.gradients), axis=-1)
         # box SDF away from edges has unit gradient
         assert np.isfinite(norms).all()
@@ -275,21 +275,21 @@ class TestOccupancyRendering:
             origin=jnp.asarray([-8.0, -8.0, -3.0]),
             extent=jnp.asarray([16.0, 16.0, 16.0]),
         )
-        grid = occ.update_occupancy_grid(
-            lambda p: field(p)[0], grid, threshold=1.5
-        )
+        grid = jax.jit(lambda g: occ.update_occupancy_grid(
+            lambda p: field(p)[0], g, threshold=1.5
+        ))(grid)
         assert int(grid.occupancy.sum()) > 0
 
-        out = occ.occupancy_volumetric_rendering(
+        out = jax.jit(lambda g: occ.occupancy_volumetric_rendering(
             field,
-            grid,
+            g,
             ray_positions=jnp.zeros((2, 3)),
             ray_directions=jnp.asarray([[0.0, 0.0, 1.0], [0.0, 1.0, 0.0]]),
             marching_step_size=0.25,
             num_samples=48,
             sdf_std_deviation=0.1,
             stratified=False,
-        )
+        ))(grid)
         probs = np.asarray(out.features)
         assert probs[0, 0] > 0.8   # hits the box
         assert probs[1].max() < 0.1  # misses
