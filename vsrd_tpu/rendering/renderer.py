@@ -77,6 +77,28 @@ def anneal_cosines(cosines: jax.Array, cosine_ratio) -> jax.Array:
     return -(eased + (hard - eased) * cosine_ratio)
 
 
+def _exclusive_cumprod_mxu(x: jax.Array) -> jax.Array:
+    """Exclusive cumprod over the last axis for NON-NEGATIVE ``x`` as
+    exp(log x @ strict-upper-triangular ones).
+
+    XLA lowers cumprod to ~log2(S) padded shift-multiply passes on the
+    VPU (~0.2 ms/step of pad churn at [1000 rays, 199 samples]); the
+    equivalent prefix-sum-of-logs is ONE [S, S] triangular matmul on the
+    MXU. x is clamped at 1e-30 so fully-opaque sections give
+    transmittance exp(-69)~1e-30 -> 0 downstream without producing
+    -inf * 0 NaNs in the contraction.
+    """
+    s = x.shape[-1]
+    logx = jnp.log(jnp.maximum(x, 1e-30))
+    tri = jnp.triu(jnp.ones((s, s), x.dtype), k=1)  # [j, i] = 1 iff j < i
+    acc = jax.lax.dot_general(
+        logx, tri,
+        dimension_numbers=(((logx.ndim - 1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return jnp.exp(acc)
+
+
 def neus_weights(
     sdf: jax.Array,
     cosines: jax.Array,
@@ -93,7 +115,7 @@ def neus_weights(
     prev_cdf = jax.nn.sigmoid(prev_sdf / sdf_std_deviation)
     next_cdf = jax.nn.sigmoid(next_sdf / sdf_std_deviation)
     opacities = jax.nn.relu((prev_cdf - next_cdf) / (prev_cdf + epsilon))
-    transmittances = exclusive_cumprod(1.0 - opacities, axis=-1)
+    transmittances = _exclusive_cumprod_mxu(1.0 - opacities)
     return transmittances * opacities
 
 
