@@ -132,6 +132,48 @@ def test_pallas_kernel_interpret_forward(setup):
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=1e-4)
 
 
+def test_pallas_dir_forward_matches_full_gradient(setup):
+    """The K=1 directional coarse kernel returns the same sdf/weights as
+    the K=3 kernel, and its u_dot equals <grad, dir> (linearity of the
+    JVP) — the contract behind OptimizationConfig.pallas_dir_coarse."""
+    n, pos, loc, rot, half, valid, w = setup
+    mats = ff.build_interleaved_layers(w)
+    statics = ff.FieldStatics(num_instances=n, field_dtype=None)
+    rng = np.random.default_rng(9)
+    dirs = rng.normal(size=pos.shape).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    dirs = jnp.asarray(dirs)
+
+    u_ref, w_ref, g_ref = ff.scene_eval_stacked(
+        pos, loc, rot, half, valid, mats, 0.5, statics
+    )
+    old = pf.INTERPRET
+    pf.INTERPRET = True
+    try:
+        u, wts, ud = pf.fused_field_dir_forward(
+            statics, 32, pos, dirs, loc, rot, half, valid, mats, 0.5
+        )
+        # batched (frame-grid) variant: two stacked copies
+        ub, wb, udb = pf.fused_field_dir_forward(
+            statics, 32,
+            jnp.stack([pos, pos]), jnp.stack([dirs, dirs]),
+            jnp.stack([loc, loc]), jnp.stack([rot, rot]),
+            jnp.stack([half, half]), jnp.stack([valid, valid]),
+            tuple(jnp.stack([m, m]) for m in mats), 0.5,
+        )
+    finally:
+        pf.INTERPRET = old
+    np.testing.assert_allclose(np.asarray(u), np.asarray(u_ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(wts), np.asarray(w_ref), atol=1e-5)
+    ud_ref = np.sum(np.asarray(g_ref) * np.asarray(dirs), axis=-1)
+    np.testing.assert_allclose(np.asarray(ud), ud_ref, atol=1e-4)
+    for a, b in ((ub, u), (wb, wts), (udb, ud)):
+        for f in range(2):
+            np.testing.assert_allclose(
+                np.asarray(a)[f], np.asarray(b), atol=1e-5
+            )
+
+
 def _vjp_reference_cotangents(setup, statics, mats, du, dw, dg, temp=0.5):
     """(dloc, drot, dhalf, dmats) via jax.vjp of the directional forward
     with cotangents (du, dw, ones) — the contract the hand-written

@@ -86,6 +86,13 @@ class OptimizationConfig:
     # 'default': one-pass bf16-multiply/f32-accumulate MXU matmuls in the
     # kernel (~4 mm SDF error, 4x faster); 'highest': exact f32
     pallas_matmul_precision: str = "default"
+    # Coarse pass via a single directional tangent (K=1) instead of the
+    # full spatial gradient (K=3): the gradient-stopped coarse render
+    # consumes only NeuS section cosines, which equal the directional
+    # derivative along the unit ray when |grad sdf| = 1 (the eikonal
+    # regime). Approximation only affects *where* fine samples land;
+    # auto-disabled in strict-parity mode (matmul precision 'highest').
+    pallas_dir_coarse: bool = True
     # parity/debug mode: midpoint quadrature + linspace importance
     # samples instead of stratified jitter (matches the reference
     # samplers' own deterministic modes, samplers.py:5-8,17-19)
@@ -427,8 +434,37 @@ def compute_loss(
         # regressions); the kernel serves both passes
         field_with_grad_coarse = None
 
+        field_with_dirgrad_coarse = None
+        if cfg.pallas_dir_coarse and cfg.pallas_matmul_precision != "highest":
+
+            def field_with_dirgrad_coarse(positions, directions):
+                shape = positions.shape[:-1]
+                lead = shape[:1] if batched else ()
+                # The dir kernel has no VJP on purpose (forward-only);
+                # stop the param tangents at its boundary — the whole
+                # coarse pass is gradient-stopped downstream anyway.
+                sg = jax.lax.stop_gradient
+                u, w, ud = pallas_field.fused_field_dir_forward(
+                    statics,
+                    tile[0],
+                    sg(positions).reshape(*lead, -1, 3),
+                    sg(directions).reshape(*lead, -1, 3),
+                    sg(locations_p),
+                    sg(rotations_p),
+                    sg(dimensions_p),
+                    sg(valid_f),
+                    jax.tree.map(sg, layers),
+                    sg(temperature),
+                )
+                return (
+                    u.reshape(shape),
+                    w[..., :n].reshape(*shape, n),
+                    ud.reshape(shape),
+                )
+
     else:
         field_with_grad_coarse = None
+        field_with_dirgrad_coarse = None
 
         def _packed(fw):
             return tuple(
@@ -524,6 +560,7 @@ def compute_loss(
         deterministic=cfg.deterministic,
         field_with_grad=field_with_grad,
         field_with_grad_coarse=field_with_grad_coarse,
+        field_with_dirgrad_coarse=field_with_dirgrad_coarse,
     )
     rendered = out.features  # [.., R, N] per-ray instance probabilities
 

@@ -88,6 +88,29 @@ def _fwd_kernel(statics, pos_ref, loc_ref, rot_ref, half_ref, valid_ref,
     w_ref[:] = weights
 
 
+def _dir_fwd_kernel(statics, pos_ref, dir_ref, loc_ref, rot_ref, half_ref,
+                    valid_ref, temp_ref, *rest):
+    n_layers = len(rest) - 3
+    layer_refs = rest[:n_layers]
+    u_ref, ud_ref, w_ref = rest[n_layers:]
+
+    layers = tuple(r[:] for r in layer_refs)
+    union, weights, u_dot = scene_eval_stacked_dir_t(
+        pos_ref[:],
+        dir_ref[:],
+        loc_ref[:],
+        rot_ref[:],
+        half_ref[:],
+        valid_ref[:],
+        layers,
+        temp_ref[0],
+        statics,
+    )
+    u_ref[:] = union
+    ud_ref[:] = u_dot
+    w_ref[:] = weights
+
+
 def _bwd_kernel(statics, n_layers, tile_axis, pos_ref, loc_ref, rot_ref,
                 half_ref, valid_ref, temp_ref, *rest):
     # rest layout: [*layers] [du dg dw] [dloc drot dhalf *dlayers]
@@ -330,6 +353,130 @@ def _fused_forward_batched(statics, tile, positions, locations, rotations,
         u[:, 0, :p_real],
         w[:, :, :p_real].transpose(0, 2, 1),
         g[:, :, :p_real].transpose(0, 2, 1),
+    )
+
+
+def fused_field_dir_forward(statics, tile, positions, directions, locations,
+                            rotations, half_dims, valid, layers, temperature):
+    """(sdf [P], weights [P, N], u_dot [P]): forward-only evaluation with
+    the directional derivative of the union SDF along per-point
+    ``directions [P, 3]`` (K=1 tangent) instead of the full spatial
+    gradient (K=3).
+
+    Built for the hierarchical renderer's coarse pass: it runs under
+    stop_gradient and only consumes NeuS section cosines, which for a
+    near-unit-norm SDF gradient equal the directional derivative along
+    the (unit) ray direction — so the 4T-wide tangent matmuls and two of
+    the three tangent chains can be dropped. No VJP is defined: callers
+    must keep this on gradient-stopped paths.
+
+    Batched mode mirrors `fused_field_with_grad`: a leading frame axis on
+    positions/directions/params runs one kernel with grid ``(F, tiles)``.
+    """
+    if positions.ndim == 3:
+        return _fused_dir_forward_batched(
+            statics, tile, positions, directions, locations, rotations,
+            half_dims, valid, layers, temperature,
+        )
+    n = statics.num_instances
+    pos_t, p_real = _pad_to(positions.T, tile, axis=1)           # [3, P]
+    dir_t, _ = _pad_to(directions.T, tile, axis=1)
+    p = pos_t.shape[1]
+    grid = (p // tile,)
+    valid = valid.reshape(n, 1)
+
+    temperature = jnp.asarray(temperature, jnp.float32).reshape(1)
+
+    out_shape = (
+        jax.ShapeDtypeStruct((1, p), jnp.float32),
+        jax.ShapeDtypeStruct((1, p), jnp.float32),
+        jax.ShapeDtypeStruct((n, p), jnp.float32),
+    )
+    out_specs = (
+        _tile_spec(1, tile),
+        _tile_spec(1, tile),
+        _tile_spec(n, tile),
+    )
+
+    in_specs = [
+        _tile_spec(3, tile),                    # positions (transposed)
+        _tile_spec(3, tile),                    # directions (transposed)
+        _const_spec(locations.shape),
+        _const_spec(rotations.shape),
+        _const_spec(half_dims.shape),
+        _const_spec(valid.shape),
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # temperature
+        *[_const_spec(m.shape) for m in layers],
+    ]
+
+    u, ud, w = pl.pallas_call(
+        functools.partial(_dir_fwd_kernel, statics),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=INTERPRET,
+    )(pos_t, dir_t, locations, rotations, half_dims, valid, temperature,
+      *layers)
+
+    return u[0, :p_real], w[:, :p_real].T, ud[0, :p_real]
+
+
+def _fused_dir_forward_batched(statics, tile, positions, directions,
+                               locations, rotations, half_dims, valid,
+                               layers, temperature):
+    n = statics.num_instances
+    f = positions.shape[0]
+    pos_t, p_real = _pad_to(positions.transpose(0, 2, 1), tile, axis=2)
+    dir_t, _ = _pad_to(directions.transpose(0, 2, 1), tile, axis=2)
+    p = pos_t.shape[2]
+    grid = (f, p // tile)
+    valid = valid.reshape(f, n, 1)
+
+    temperature = jnp.asarray(temperature, jnp.float32).reshape(1)
+
+    out_shape = (
+        jax.ShapeDtypeStruct((f, 1, p), jnp.float32),
+        jax.ShapeDtypeStruct((f, 1, p), jnp.float32),
+        jax.ShapeDtypeStruct((f, n, p), jnp.float32),
+    )
+    out_specs = (
+        _tile_spec_b(1, tile),
+        _tile_spec_b(1, tile),
+        _tile_spec_b(n, tile),
+    )
+
+    in_specs = [
+        _tile_spec_b(3, tile),                  # positions (transposed)
+        _tile_spec_b(3, tile),                  # directions (transposed)
+        _const_spec_b(locations.shape[1:]),
+        _const_spec_b(rotations.shape[1:]),
+        _const_spec_b(half_dims.shape[1:]),
+        _const_spec_b(valid.shape[1:]),
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # temperature
+        *[_const_spec_b(m.shape[1:]) for m in layers],
+    ]
+
+    u, ud, w = pl.pallas_call(
+        functools.partial(_dir_fwd_kernel, statics),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=INTERPRET,
+    )(pos_t, dir_t, locations, rotations, half_dims, valid, temperature,
+      *layers)
+
+    return (
+        u[:, 0, :p_real],
+        w[:, :, :p_real].transpose(0, 2, 1),
+        ud[:, 0, :p_real],
     )
 
 

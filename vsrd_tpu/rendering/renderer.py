@@ -134,6 +134,7 @@ def render_rays(
     deterministic: bool = False,
     epsilon: float = 1e-6,
     field_with_grad=None,
+    field_with_dir_grad=None,
 ) -> RenderOutputs:
     """One volumetric rendering pass over ``[R]`` rays.
 
@@ -142,6 +143,14 @@ def render_rays(
     against ``sampled_weights`` merged + sorted with the originals (the
     fine pass). Mirrors reference renderers.py:177-270 with the sample
     axis last.
+
+    ``field_with_dir_grad(positions, directions) -> (sdf, features,
+    u_dot)`` evaluates only the *directional* derivative of the SDF along
+    the (unit) ray direction instead of the full spatial gradient, and
+    treats it as the NeuS section cosine directly (exact when ``|grad
+    sdf| == 1``; the eikonal loss drives the field there). Only valid on
+    gradient-stopped passes whose normals/eikonal outputs are unused —
+    the returned ``gradients`` are zeros.
     """
     if sampled_distances is None:
         lo, hi = distance_range
@@ -164,16 +173,26 @@ def render_rays(
         + ray_directions[..., None, :] * midpoints[..., None]
     )
 
-    if field_with_grad is not None:
-        # fused evaluation (e.g. the Pallas kernel): value + spatial
-        # gradient in one pass
-        sdf, features, gradients = field_with_grad(positions)
+    if field_with_dir_grad is not None:
+        dirs = jnp.broadcast_to(
+            ray_directions[..., None, :], positions.shape
+        )
+        sdf, features, u_dot = field_with_dir_grad(positions, dirs)
+        # |grad| ~ 1 for an SDF; clip keeps the section estimate sane
+        # where the softmin union / residual dents the norm
+        cosines = jnp.clip(u_dot, -1.0, 1.0)
+        gradients = jnp.zeros_like(positions)
     else:
-        sdf, features, gradients = eval_field_with_grad(field, positions)
+        if field_with_grad is not None:
+            # fused evaluation (e.g. the Pallas kernel): value + spatial
+            # gradient in one pass
+            sdf, features, gradients = field_with_grad(positions)
+        else:
+            sdf, features, gradients = eval_field_with_grad(field, positions)
 
-    norms = jnp.linalg.norm(gradients, axis=-1)
-    normals = gradients / jnp.clip(norms, min=1e-12)[..., None]
-    cosines = jnp.sum(ray_directions[..., None, :] * normals, axis=-1)
+        norms = jnp.linalg.norm(gradients, axis=-1)
+        normals = gradients / jnp.clip(norms, min=1e-12)[..., None]
+        cosines = jnp.sum(ray_directions[..., None, :] * normals, axis=-1)
 
     weights = neus_weights(
         sdf, cosines, intervals, sdf_std_deviation, cosine_ratio, epsilon
@@ -196,12 +215,18 @@ def hierarchical_render(
     deterministic: bool = False,
     field_with_grad=None,
     field_with_grad_coarse=None,
+    field_with_dirgrad_coarse=None,
 ) -> RenderOutputs:
     """Coarse (gradient-stopped) + fine importance-sampled pass.
 
     ``field_with_grad_coarse`` optionally overrides the evaluator for the
     coarse pass (it runs under stop_gradient, so a forward-only-optimized
-    evaluator can be substituted).
+    evaluator can be substituted). ``field_with_dirgrad_coarse`` goes
+    further: a ``(positions, directions) -> (sdf, features, u_dot)``
+    evaluator computing only the directional derivative along the ray
+    (one forward-mode tangent instead of three) — the coarse pass
+    consumes nothing but section cosines, so the full spatial gradient is
+    wasted work there. Takes precedence over ``field_with_grad_coarse``.
 
     Mirrors the reference's hierarchical_wrapper (scripts/main.py:511-523):
     the coarse pass runs under no_grad — here `stop_gradient`, which lets
@@ -227,6 +252,7 @@ def hierarchical_render(
             if field_with_grad_coarse is not None
             else field_with_grad
         ),
+        field_with_dir_grad=field_with_dirgrad_coarse,
     )
     coarse_distances = jax.lax.stop_gradient(coarse.distances)
     coarse_weights = jax.lax.stop_gradient(coarse.weights)
