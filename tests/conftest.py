@@ -7,15 +7,27 @@ without TPU hardware, mirroring the reference's CPU-runnable small config
 """
 
 import os
+import sys
 
 # Force-set (not setdefault): the environment's TPU plugin sitecustomize
 # rewrites JAX_PLATFORMS at interpreter start, before conftest runs.
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+# The fast tier is XLA-compile-bound (one ~15-25 s CPU compile per big
+# loss/step graph); dialing back backend optimization cuts compile ~35%
+# while keeping semantics (tolerance-checked equivalence tests still
+# pass). The slow tier (-m slow) is run-time-bound (multi-minute
+# optimization loops), so there the optimized code pays for itself —
+# only apply the diet when the slow tier wasn't requested on the CLI.
+if "slow" not in " ".join(sys.argv) and "xla_backend_optimization_level" not in flags:
+    flags += (
+        " --xla_backend_optimization_level=0"
+        " --xla_llvm_disable_expensive_passes=true"
+    )
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 

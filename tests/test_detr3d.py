@@ -100,21 +100,23 @@ class TestDETR3D:
 
     def test_aux_outputs_and_losses(self, batch):
         # aux decoder losses: same heads applied to every intermediate
-        # decoder layer (reference detr.py:213-229)
-        model = detr3d.DETR3D(**{**SMALL, "num_decoder_layers": 3})
+        # decoder layer (reference detr.py:213-229). Two decoder layers
+        # (-> one aux level) exercise the full aux plumbing at half the
+        # compile cost of three.
+        model = detr3d.DETR3D(**{**SMALL, "num_decoder_layers": 2})
         images, intrinsics, labels, boxes_2d, boxes_3d, valid = batch
         params = jax.jit(model.init)(jax.random.PRNGKey(0), images, intrinsics)
         out = jax.jit(
             lambda p, im, k: model.apply(p, im, k, aux_outputs=True)
         )(params, images, intrinsics)
-        assert len(out["aux_outputs"]) == 2  # layers 0..L-2
+        assert len(out["aux_outputs"]) == 1  # layers 0..L-2
         for aux in out["aux_outputs"]:
             assert aux["logits"].shape == out["logits"].shape
             assert aux["boxes_3d"].shape == out["boxes_3d"].shape
         total_aux, scalars = jax.jit(detr3d.detr_loss)(
             out, labels, boxes_2d, boxes_3d, valid
         )
-        assert "aux0_class_loss" in scalars and "aux1_box_loss" in scalars
+        assert "aux0_class_loss" in scalars and "aux0_box_loss" in scalars
         out_plain = {k: v for k, v in out.items() if k != "aux_outputs"}
         total_plain, _ = jax.jit(detr3d.detr_loss)(
             out_plain, labels, boxes_2d, boxes_3d, valid
@@ -161,8 +163,11 @@ class TestDETR3D:
 
         assert first_leaf(updates, "backbone") < first_leaf(updates, "heads")
 
-    def test_loss_respects_validity(self, batch, detr_setup):
-        _, _, out = detr_setup
+    def test_loss_respects_validity(self, batch, deform_setup):
+        # deform_setup (already compiled for the deformable tests above)
+        # supplies the outputs: detr_loss's validity masking is
+        # model-agnostic, and reusing it keeps detr_setup slow-tier-only.
+        _, _, out = deform_setup
         _, _, labels, boxes_2d, boxes_3d, valid = batch
         _, aux_all = detr3d.detr_loss(out, labels, boxes_2d, boxes_3d, valid)
         _, aux_none = detr3d.detr_loss(

@@ -31,36 +31,29 @@ def photo_setup():
     return cfg, frame
 
 
-def test_compute_loss_reaches_photometric(photo_setup):
-    cfg, frame = photo_setup
-    params = opt.init_params(jax.random.PRNGKey(1), 2, cfg)
-    loss, aux = jax.jit(
-        lambda p: opt.compute_loss(
-            p, frame, jnp.asarray(3), jax.random.PRNGKey(2), cfg, True
-        )
-    )(params)
-    photometric = float(aux["losses"]["photometric_loss"])
-    assert np.isfinite(float(loss))
-    assert np.isfinite(photometric)
-    assert photometric != 0.0  # the branch actually ran
-
-
-def test_photometric_gradients_flow(photo_setup):
+def test_photometric_loss_and_gradients(photo_setup):
+    """compute_loss reaches the photometric branch AND its gradients flow
+    into the boxes. One value_and_grad compile serves both claims (the
+    forward is a strict subgraph of the grad graph; compiling them
+    separately doubled this module's compile-bound runtime)."""
     cfg, frame = photo_setup
 
     def photometric_only(p):
-        _, aux = opt.compute_loss(
+        total, aux = opt.compute_loss(
             p, frame, jnp.asarray(3), jax.random.PRNGKey(2), cfg, True
         )
-        return aux["losses"]["photometric_loss"]
+        return aux["losses"]["photometric_loss"], total
 
-    grads = jax.jit(jax.grad(photometric_only))(
-        opt.init_params(jax.random.PRNGKey(1), 2, cfg)
-    )
+    (photometric, total), grads = jax.jit(
+        jax.value_and_grad(photometric_only, has_aux=True)
+    )(opt.init_params(jax.random.PRNGKey(1), 2, cfg))
+    assert np.isfinite(float(total))
+    assert np.isfinite(float(photometric))
+    assert float(photometric) != 0.0  # the branch actually ran
     leaves = jax.tree.leaves(grads["boxes"])
-    total = sum(float(jnp.sum(jnp.abs(leaf))) for leaf in leaves)
-    assert np.isfinite(total)
-    assert total > 0.0  # surfel positions backprop into the boxes
+    gsum = sum(float(jnp.sum(jnp.abs(leaf))) for leaf in leaves)
+    assert np.isfinite(gsum)
+    assert gsum > 0.0  # surfel positions backprop into the boxes
 
 
 def test_batched_photometric_matches_per_frame(photo_setup):

@@ -104,7 +104,80 @@ def test_sharded_step_matches_shapes():
     assert np.isfinite(np.asarray(s["loss"])).all()
 
 
-def test_sharded_step_matches_single_chip_numerically():
+class _SpEquivSetup:
+    """Shared state for the sp-equivalence tests: one single-chip jitted
+    step (train_step conds on the phase internally, so ONE compile covers
+    warmup and RDF) + memoized pre-run states per phase.
+
+    Pre-running single-chip steps breaks the step-0 gauge symmetry
+    (identical box inits make the matching cost tied, and Adam's first
+    update is +-lr regardless of gradient magnitude, so any epsilon
+    rounding difference flips full +-lr elements). After a real step
+    the per-instance params are distinct and the comparison is stable.
+    """
+
+    def __init__(self):
+        self.cfg = opt.OptimizationConfig(
+            num_steps=4, warmup_steps=2, num_rays=32, num_samples=8,
+            deterministic=True, metric_interval=2,
+        )
+        self.num_frames = 2
+        self.frames = [
+            fm.synthetic_frame(jax.random.PRNGKey(i), **TINY)
+            for i in range(self.num_frames)
+        ]
+        v = self.frames[0].num_views
+        h, w = self.frames[0].image_size
+        rng = np.random.default_rng(11)
+        self.schedule = rng.integers(
+            0, v * h * w, size=(self.num_frames, self.cfg.num_rays)
+        ).astype(np.int32)
+        self.init_keys = jax.random.split(
+            jax.random.PRNGKey(0), self.num_frames
+        )
+        self.mesh = sh.make_mesh(jax.devices()[:4], dp=2, sp=2)
+        self.fb = sh.stack_frames(self.frames)
+        cfg = self.cfg
+
+        @jax.jit
+        def step_jit(params, opt_state, frame, step, rays):
+            tx = opt.make_optimizer(cfg, params)
+            return opt.train_step(
+                params, opt_state, frame, step, jax.random.PRNGKey(99),
+                cfg, tx, ray_indices=rays,
+            )
+
+        self.step_jit = step_jit
+        self._states = {}
+
+    def prerun(self, upto_step):
+        if upto_step in self._states:
+            return self._states[upto_step]
+        states = []
+        for f in range(self.num_frames):
+            params = opt.init_params(
+                self.init_keys[f], TINY["max_instances"], self.cfg
+            )
+            tx = opt.make_optimizer(self.cfg, params)
+            opt_state = tx.init(params)
+            for s in range(upto_step):
+                params, opt_state, _ = self.step_jit(
+                    params, opt_state, self.frames[f], jnp.asarray(s),
+                    jnp.asarray(self.schedule[f]),
+                )
+            states.append((params, opt_state, tx))
+        self._states[upto_step] = states
+        return states
+
+
+@pytest.fixture(scope="module")
+def sp_equiv():
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >=4 virtual devices")
+    return _SpEquivSetup()
+
+
+def test_sharded_step_matches_single_chip_numerically(sp_equiv):
     """One dp x sp sharded step from identical params must reproduce the
     single-chip train_step to f32 tolerance in deterministic mode with a
     fixed ray schedule — in BOTH phases (box-only warmup and RDF): the
@@ -113,65 +186,19 @@ def test_sharded_step_matches_single_chip_numerically():
     sp-reduction bugs (wrong denominator, missed psum). Single-step on
     purpose: iterated trajectories diverge chaotically from batched
     matmul rounding through Adam (that regime is covered at trajectory
-    level by tests/test_batched.py)."""
-    n_dev = len(jax.devices())
-    if n_dev < 4:
-        pytest.skip("needs >=4 virtual devices")
-    cfg = opt.OptimizationConfig(
-        num_steps=4, warmup_steps=2, num_rays=32, num_samples=8,
-        deterministic=True, metric_interval=2,
-    )
-    num_frames = 2
-    frames = [
-        fm.synthetic_frame(jax.random.PRNGKey(i), **TINY)
-        for i in range(num_frames)
-    ]
-    v = frames[0].num_views
-    h, w = frames[0].image_size
-    rng = np.random.default_rng(11)
-    schedule = rng.integers(
-        0, v * h * w, size=(num_frames, cfg.num_rays)
-    ).astype(np.int32)
-
-    init_keys = jax.random.split(jax.random.PRNGKey(0), num_frames)
-    mesh = sh.make_mesh(jax.devices()[:4], dp=2, sp=2)
+    level by tests/test_batched.py). The sharper gradient-level sp check
+    lives in test_sharded_grads_match_single_chip (slow tier: it
+    compiles two extra full-loss gradient graphs)."""
+    cfg = sp_equiv.cfg
+    num_frames = sp_equiv.num_frames
+    frames, schedule, fb = sp_equiv.frames, sp_equiv.schedule, sp_equiv.fb
+    mesh, step_jit = sp_equiv.mesh, sp_equiv.step_jit
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    fb = sh.stack_frames(frames)
     step_fn = sh.make_sharded_train_step(mesh, cfg, with_ray_schedule=True)
 
-    # single jitted single-chip step (train_step conds on the phase
-    # internally, so ONE compile covers warmup and RDF; the eager
-    # alternative re-dispatches the whole loss graph op-by-op)
-    @jax.jit
-    def step_jit(params, opt_state, frame, step, rays):
-        tx = opt.make_optimizer(cfg, params)
-        return opt.train_step(
-            params, opt_state, frame, step, jax.random.PRNGKey(99), cfg,
-            tx, ray_indices=rays,
-        )
-
-    # Pre-run single-chip steps to break the step-0 gauge symmetry
-    # (identical box inits make the matching cost tied, and Adam's first
-    # update is +-lr regardless of gradient magnitude, so any epsilon
-    # rounding difference flips full +-lr elements). After a real step
-    # the per-instance params are distinct and the comparison is stable.
-    def prerun(upto_step):
-        states = []
-        for f in range(num_frames):
-            params = opt.init_params(init_keys[f], TINY["max_instances"], cfg)
-            tx = opt.make_optimizer(cfg, params)
-            opt_state = tx.init(params)
-            for s in range(upto_step):
-                params, opt_state, _ = step_jit(
-                    params, opt_state, frames[f], jnp.asarray(s),
-                    jnp.asarray(schedule[f]),
-                )
-            states.append((params, opt_state, tx))
-        return states
-
     for step in (1, cfg.warmup_steps + 1):  # box-only and RDF phases
-        states = prerun(step)
+        states = sp_equiv.prerun(step)
         single = []
         for f in range(num_frames):
             params, opt_state, _ = states[f]
@@ -218,61 +245,70 @@ def test_sharded_step_matches_single_chip_numerically():
                     err_msg=f"phase step {step} frame {f} {name}",
                 )
 
-        # gradient-level check (sharper than post-Adam params, whose
-        # m-hat/sqrt(v-hat) ratios amplify f32 noise early in training):
-        # the pmean-reduced sp gradients must equal the full-ray gradient.
-        # RDF phase only: it strictly contains the warmup phase's
-        # reduction structure (plus eikonal), and a warmup-phase sp bug
-        # would already fail the 2e-4 scalars check above; skipping the
-        # warmup-phase grad pass saves one shard_map grad compile.
-        if not use_rdf:
-            continue
 
-        def loss_sum(p, frame_arg, rays, sp_axis=None):
-            total, _ = opt.compute_loss(
-                p, frame_arg, jnp.asarray(step), jax.random.PRNGKey(99),
-                cfg, use_rdf, ray_indices=rays, sp_axis=sp_axis,
-            )
-            return jnp.sum(total)
+@pytest.mark.slow
+def test_sharded_grads_match_single_chip(sp_equiv):
+    """Gradient-level sp check (sharper than post-Adam params, whose
+    m-hat/sqrt(v-hat) ratios amplify f32 noise early in training):
+    the pmean-reduced sp gradients must equal the full-ray gradient.
+    RDF phase only: it strictly contains the warmup phase's reduction
+    structure (plus eikonal), and a warmup-phase sp bug already fails
+    the fast scalars test at 2e-4. Slow tier: compiles two extra
+    full-loss gradient graphs on top of the fast test's step graphs."""
+    cfg = sp_equiv.cfg
+    num_frames = sp_equiv.num_frames
+    frames, schedule, fb = sp_equiv.frames, sp_equiv.schedule, sp_equiv.fb
+    mesh = sp_equiv.mesh
+    from jax.sharding import PartitionSpec as P
 
-        from jax.experimental.shard_map import shard_map
+    step = cfg.warmup_steps + 1
+    use_rdf = True
+    states = sp_equiv.prerun(step)
 
-        grads_sharded = jax.jit(
-            shard_map(
-                lambda p, fr, rays: jax.lax.pmean(
-                    jax.grad(loss_sum)(p, fr, rays, "sp"), "sp"
-                ),
-                mesh=mesh,
-                in_specs=(P("dp"), P("dp"), P("dp")),
-                out_specs=P("dp"),
-                check_rep=False,
-            )
-        )(jax.tree.map(lambda *xs: jnp.stack(xs), *[s[0] for s in states]),
-          fb, jnp.asarray(schedule))
-        # jitted (eager per-op grad evaluation of the full loss graph is
-        # the expensive way to do this on CPU; one compile, reused
-        # across frames)
-        single_grad_fn = jax.jit(
-            lambda p, fr, rays: jax.grad(loss_sum)(p, fr, rays)
+    def loss_sum(p, frame_arg, rays, sp_axis=None):
+        total, _ = opt.compute_loss(
+            p, frame_arg, jnp.asarray(step), jax.random.PRNGKey(99),
+            cfg, use_rdf, ray_indices=rays, sp_axis=sp_axis,
         )
-        for f in range(num_frames):
-            grads_single = single_grad_fn(
-                states[f][0], frames[f], jnp.asarray(schedule[f])
+        return jnp.sum(total)
+
+    from jax.experimental.shard_map import shard_map
+
+    grads_sharded = jax.jit(
+        shard_map(
+            lambda p, fr, rays: jax.lax.pmean(
+                jax.grad(loss_sum)(p, fr, rays, "sp"), "sp"
+            ),
+            mesh=mesh,
+            in_specs=(P("dp"), P("dp"), P("dp")),
+            out_specs=P("dp"),
+            check_rep=False,
+        )
+    )(jax.tree.map(lambda *xs: jnp.stack(xs), *[s[0] for s in states]),
+      fb, jnp.asarray(schedule))
+    # jitted (eager per-op grad evaluation of the full loss graph is
+    # the expensive way to do this on CPU; one compile, reused
+    # across frames)
+    single_grad_fn = jax.jit(
+        lambda p, fr, rays: jax.grad(loss_sum)(p, fr, rays)
+    )
+    for f in range(num_frames):
+        grads_single = single_grad_fn(
+            states[f][0], frames[f], jnp.asarray(schedule[f])
+        )
+        got = jax.tree.map(lambda x: np.asarray(x)[f], grads_sharded)
+        # RDF grads inherit the resampling bracket sensitivity (measured
+        # worst ~1.4e-2 relative to the leaf's max element after the
+        # sampler clamp); a missing/wrong sp reduction is a 2x-level
+        # error on the ray-local terms and still fails loudly.
+        rtol, ascale = 5e-2, 3e-2
+        for a, b in zip(jax.tree.leaves(got),
+                        jax.tree.leaves(grads_single)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=rtol,
+                atol=ascale * max(np.abs(np.asarray(b)).max(), 1e-8),
+                err_msg=f"grads phase step {step} frame {f}",
             )
-            got = jax.tree.map(lambda x: np.asarray(x)[f], grads_sharded)
-            # Warmup (box-only) grads are reassociation-tight. RDF grads
-            # inherit the resampling bracket sensitivity (measured worst
-            # ~1.4e-2 relative to the leaf's max element after the
-            # sampler clamp); a missing/wrong sp reduction is a 2x-level
-            # error on the ray-local terms and still fails loudly.
-            rtol, ascale = (5e-2, 3e-2) if step >= cfg.warmup_steps else (1e-4, 2e-6)
-            for a, b in zip(jax.tree.leaves(got),
-                            jax.tree.leaves(grads_single)):
-                np.testing.assert_allclose(
-                    np.asarray(a), np.asarray(b), rtol=rtol,
-                    atol=ascale * max(np.abs(np.asarray(b)).max(), 1e-8),
-                    err_msg=f"grads phase step {step} frame {f}",
-                )
 
 
 def test_synthetic_frame_contract(tiny_frame):
