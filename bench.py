@@ -84,6 +84,21 @@ def verify_kernels():
         "d_half_dims": err(gradk[1], gradr[1]),
         "d_mats": max(err(a, b) for a, b in zip(gradk[2], gradr[2])),
     }
+
+    # directional coarse kernel (forward-only, K=1 tangent): must agree
+    # with the K=3 reference on sdf/weights, and its u_dot with the
+    # contraction of the reference spatial gradient along the directions
+    dirs = rng.normal(size=(4096, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    dirs = jnp.asarray(dirs)
+    ud_k = jax.jit(
+        lambda d: pf.fused_field_dir_forward(
+            statics, 1024, pos, d, loc, rot, half, valid, mats, 0.5
+        )
+    )(dirs)
+    errors["dir_sdf"] = err(ud_k[0], ur)
+    errors["dir_weights"] = err(ud_k[1], wr)
+    errors["dir_u_dot"] = err(ud_k[2], jnp.sum(gr * dirs, axis=-1))
     return errors
 
 
