@@ -83,6 +83,13 @@ def build_config(args) -> opt.OptimizationConfig:
             "bounding_radius", 100.0
         ),
         checkpoint_interval=config.get("logging", {}).get("ckpt_intervals", 500),
+        # kernel knobs (NOTES.md): strict-parity runs set precision
+        # 'highest', which also disables the coarse-pass approximations
+        pallas_matmul_precision=optimization.get(
+            "pallas_matmul_precision", "default"
+        ),
+        pallas_dir_coarse=optimization.get("pallas_dir_coarse", True),
+        pallas_box_coarse=optimization.get("pallas_box_coarse", False),
     ), config
 
 
@@ -107,18 +114,25 @@ class _FrameJob:
         self.writer = SummaryWriter(log_dirname) if SummaryWriter else None
         self.key = key
 
-    def save_and_log(self, step, params, scalars, cfg, config, meters, logger):
+    def save_and_log(self, step, params, scalars, cfg, config, meters, logger,
+                     opt_state=None):
         """``params``/``scalars`` are this frame's slices (no frame axis)."""
         scalar_every = config.get("logging", {}).get("scalar_intervals", 50)
         image_every = config.get("logging", {}).get("image_intervals", 500)
-        self.saver.save(
-            f"step_{step - 1}",
+        entries = dict(
             step=np.asarray(step - 1),
             models={"detector": jax.device_get(params["boxes"]),
                     "hyper_distance_field": jax.device_get(params["hyper"])},
             metrics={k: np.asarray(v[-1]) for k, v in scalars.items()},
             valid=np.asarray(self.frame.valid),
         )
+        if opt_state is not None:
+            # Adam state rides along (KB-scale) so a preempted frame can
+            # resume mid-run from its last checkpoint (_resume_state)
+            # instead of restarting — beyond the reference's
+            # whole-frame skip (main.py:130-136).
+            entries["opt_state"] = jax.device_get(opt_state)
+        self.saver.save(f"step_{step - 1}", **entries)
         base = step - len(scalars["loss"])
         for offset in range(scalar_every - 1, len(scalars["loss"]), scalar_every):
             for name, values in scalars.items():
@@ -144,40 +158,100 @@ class _FrameJob:
             self.writer.close()
 
 
+def _resume_state(job, cfg, logger):
+    """(params, opt_state, start_step) from the frame's latest partial
+    checkpoint, or None. Exact continuation: per-step keys are
+    fold_in(key, step), so resuming with the same per-frame key
+    reproduces the uninterrupted trajectory (optimize.optimize_frame).
+    Frames preempted mid-BATCH resume individually: params/Adam state
+    carry over exactly, but the stochastic stream differs from the
+    uninterrupted batch (which drew [F, ...]-shaped noise from the
+    shared key) — still a valid continuation of the optimization."""
+    import glob as _glob
+    import re as _re
+
+    pattern = os.path.join(job.saver.dirname, "step_*.npz")
+    steps = sorted(
+        int(m.group(1))
+        for p in _glob.glob(pattern)
+        if (m := _re.search(r"step_(\d+)\.npz$", p))
+    )
+    if not steps or steps[-1] >= cfg.num_steps - 1:
+        return None
+    latest = steps[-1]
+    payload = job.saver.load(f"step_{latest}")
+    if "opt_state" not in payload:
+        return None  # pre-resume checkpoint format: restart from scratch
+    params = {
+        "boxes": payload["models"]["detector"],
+        "hyper": payload["models"]["hyper_distance_field"],
+    }
+    logger.info(
+        f"[{job.image_filename}] resuming from step_{latest} "
+        f"({latest + 1}/{cfg.num_steps} steps done)"
+    )
+    return params, payload["opt_state"], latest + 1
+
+
+def _run_single(job, cfg, config, meters, stop_watch, logger, init_state=None):
+    start = init_state[2] if init_state is not None else 0
+    last = {"step": start}
+
+    def callback(step, params, scalars, opt_state):
+        covered = step - last["step"]
+        last["step"] = step
+        meters.update(count=covered, optimize=stop_watch.restart())
+        job.save_and_log(
+            step, params, scalars, cfg, config, meters, logger,
+            opt_state=opt_state,
+        )
+
+    opt.optimize_frame(
+        job.frame, job.key, cfg, callback=callback, init_state=init_state
+    )
+    job.close()
+
+
 def _run_jobs(jobs, cfg, config, meters, stop_watch, logger):
     """Optimize a bucket of equally-shaped frames (co-optimized when >1)."""
     from vsrd_tpu.pipeline import sharded as sharded_mod
 
+    # Preempted frames (partial checkpoints) resume individually via the
+    # single-frame path; fresh frames co-optimize as one batch.
+    resumes = []
+    fresh = []
+    for job in jobs:
+        state = _resume_state(job, cfg, logger)
+        (resumes if state is not None else fresh).append((job, state))
+    for job, state in resumes:
+        _run_single(job, cfg, config, meters, stop_watch, logger, state)
+    jobs = [job for job, _ in fresh]
+
     if not jobs:
         return
     if len(jobs) == 1:
-        job = jobs[0]
-        last = {"step": 0}
-
-        def callback(step, params, scalars):
-            covered = step - last["step"]
-            last["step"] = step
-            meters.update(count=covered, optimize=stop_watch.restart())
-            job.save_and_log(
-                step, params, scalars, cfg, config, meters, logger
-            )
-
-        opt.optimize_frame(job.frame, job.key, cfg, callback=callback)
-        job.close()
+        _run_single(jobs[0], cfg, config, meters, stop_watch, logger)
         return
 
     frames = sharded_mod.stack_frames([job.frame for job in jobs])
     last = {"step": 0}
 
-    def callback(step, params, scalars):
+    def callback(step, params, scalars, opt_state):
         covered = (step - last["step"]) * len(jobs)
         last["step"] = step
         meters.update(count=covered, optimize=stop_watch.restart())
         for f, job in enumerate(jobs):
             params_f = jax.tree.map(lambda x: x[f], params)
             scalars_f = {k: v[:, f] for k, v in scalars.items()}
+            # mu/nu carry the leading frame axis; "count" is a lockstep
+            # scalar shared by the batch
+            opt_f = jax.tree.map(
+                lambda x: x[f] if getattr(x, "ndim", 0) > 0 else x,
+                opt_state,
+            )
             job.save_and_log(
-                step, params_f, scalars_f, cfg, config, meters, logger
+                step, params_f, scalars_f, cfg, config, meters, logger,
+                opt_state=opt_f,
             )
 
     # co-optimized frames share one key: stochastic draws are shaped

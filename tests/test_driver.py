@@ -106,3 +106,26 @@ def test_driver_trains_batched_and_skips_when_done(driver_root):
     result = _run_driver(config_path)
     err = result.stderr
     assert err.count("already optimized") == 2
+
+
+@pytest.mark.slow
+def test_driver_resumes_preempted_frames(driver_root):
+    """A frame with a partial checkpoint (simulated preemption: delete
+    its final checkpoints, keep step_2) is resumed from step 3 instead
+    of restarting — the mid-frame fault-tolerance extension over the
+    reference's whole-frame skip."""
+    config_path = _write_config(driver_root, "vsrd_resume", frames_per_batch=2)
+    _run_driver(config_path)
+    ckpt_root = os.path.join(driver_root, "ckpts", "vsrd_resume")
+    finals = sorted(glob.glob(
+        os.path.join(ckpt_root, "**", "step_5.npz"), recursive=True
+    ))
+    assert len(finals) == 2
+
+    # preempt one frame after its first checkpoint chunk
+    os.remove(finals[0])
+    result = _run_driver(config_path)
+    err = result.stderr
+    assert "resuming from step_2" in err, err[-2000:]
+    assert err.count("already optimized") == 1   # the untouched frame
+    assert os.path.exists(finals[0])             # re-completed

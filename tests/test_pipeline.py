@@ -42,9 +42,46 @@ def test_checkpoint_callback_cadence(tiny_frame):
     seen = []
     opt.optimize_frame(
         tiny_frame, jax.random.PRNGKey(1), cfg,
-        callback=lambda step, params, scalars: seen.append(step),
+        callback=lambda step, params, scalars, opt_state: seen.append(step),
     )
     assert seen == [10, 20, 30]
+
+
+@pytest.mark.slow
+def test_midframe_resume_is_bit_exact(tiny_frame):
+    """Resuming from (params, opt_state, step) captured at a checkpoint
+    reproduces the uninterrupted run bit-for-bit: per-step keys are
+    fold_in(key_run, step), so the RNG stream continues exactly."""
+    cfg = opt.OptimizationConfig(
+        num_steps=30, warmup_steps=10, num_rays=32, num_samples=8,
+        checkpoint_interval=10,
+    )
+    key = jax.random.PRNGKey(3)
+    captured = {}
+
+    def capture(step, params, scalars, opt_state):
+        if step == 20:
+            captured["state"] = (
+                jax.device_get(params), jax.device_get(opt_state), step
+            )
+
+    p_full, s_full = opt.optimize_frame(tiny_frame, key, cfg, callback=capture)
+    assert "state" in captured
+
+    resumed_scalars = []
+    p_res, s_res = opt.optimize_frame(
+        tiny_frame, key, cfg,
+        callback=lambda step, p, s, o: resumed_scalars.append(step),
+        init_state=captured["state"],
+    )
+    assert resumed_scalars == [30]
+    # final params identical to the uninterrupted run
+    for a, b in zip(jax.tree.leaves(p_full), jax.tree.leaves(p_res)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # the resumed scalar tail equals the full run's last 10 steps
+    np.testing.assert_array_equal(
+        np.asarray(s_full["loss"][20:]), np.asarray(s_res["loss"])
+    )
 
 
 @pytest.mark.slow

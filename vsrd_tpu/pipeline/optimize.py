@@ -93,6 +93,14 @@ class OptimizationConfig:
     # regime). Approximation only affects *where* fine samples land;
     # auto-disabled in strict-parity mode (matmul precision 'highest').
     pallas_dir_coarse: bool = True
+    # Coarse pass on the box SDF union only (no RDF MLP): the residual
+    # is a non-negative sigmoid added to the box SDF, so the true
+    # surface always lies inside the box isosurface — box-only coarse
+    # weights cover it, and the fine pass (which re-evaluates the full
+    # field at the merged coarse+importance samples) corrects the
+    # placement. Same gating as pallas_dir_coarse. Off by default until
+    # the A/B iou validation in NOTES.md says otherwise.
+    pallas_box_coarse: bool = False
     # parity/debug mode: midpoint quadrature + linspace importance
     # samples instead of stratified jitter (matches the reference
     # samplers' own deterministic modes, samplers.py:5-8,17-19)
@@ -436,6 +444,12 @@ def compute_loss(
 
         field_with_dirgrad_coarse = None
         if cfg.pallas_dir_coarse and cfg.pallas_matmul_precision != "highest":
+            box_coarse = cfg.pallas_box_coarse and use_rdf
+            coarse_statics = (
+                statics._replace(use_rdf=False) if box_coarse else statics
+            )
+            coarse_layers = () if box_coarse else layers
+            coarse_tile = cfg.pallas_box_tile if box_coarse else tile[0]
 
             def field_with_dirgrad_coarse(positions, directions):
                 shape = positions.shape[:-1]
@@ -445,15 +459,15 @@ def compute_loss(
                 # coarse pass is gradient-stopped downstream anyway.
                 sg = jax.lax.stop_gradient
                 u, w, ud = pallas_field.fused_field_dir_forward(
-                    statics,
-                    tile[0],
+                    coarse_statics,
+                    coarse_tile,
                     sg(positions).reshape(*lead, -1, 3),
                     sg(directions).reshape(*lead, -1, 3),
                     sg(locations_p),
                     sg(rotations_p),
                     sg(dimensions_p),
                     sg(valid_f),
-                    jax.tree.map(sg, layers),
+                    jax.tree.map(sg, coarse_layers),
                     sg(temperature),
                 )
                 return (
@@ -841,21 +855,34 @@ def optimize_frame(
     key: jax.Array,
     cfg: OptimizationConfig = OptimizationConfig(),
     callback=None,
+    init_state=None,
 ):
     """Full per-frame optimization with chunked checkpointing.
 
-    ``callback(step, params, scalars_chunk)`` is invoked after every
-    checkpoint interval (host side). Returns final params and stacked
-    per-step scalars.
+    ``callback(step, params, scalars_chunk, opt_state)`` is invoked
+    after every checkpoint interval (host side). Returns final params
+    and stacked per-step scalars.
+
+    ``init_state = (params, opt_state, start_step)`` resumes a
+    partially-optimized frame mid-run (preemption tolerance beyond the
+    reference's whole-frame skip, main.py:130-136): per-step keys are
+    ``fold_in(key_run, step)``, so resuming with the SAME ``key`` at
+    step ``k`` continues the exact RNG stream and reproduces the
+    uninterrupted trajectory bit-for-bit.
     """
     key_init, key_run = jax.random.split(key)
-    params = init_params(key_init, frame.max_instances, cfg)
-    tx = make_optimizer(cfg, params)
-    opt_state = tx.init(params)
+    if init_state is None:
+        params = init_params(key_init, frame.max_instances, cfg)
+        tx = make_optimizer(cfg, params)
+        opt_state = tx.init(params)
+        step = 0
+    else:
+        params, opt_state, step = init_state
+        params = jax.tree.map(jnp.asarray, params)
+        opt_state = jax.tree.map(jnp.asarray, opt_state)
 
     chunk = cfg.checkpoint_interval
     all_scalars = []
-    step = 0
     while step < cfg.num_steps:
         size = min(chunk, cfg.num_steps - step)
         params, opt_state, scalars = optimize_chunk(
@@ -864,7 +891,7 @@ def optimize_frame(
         all_scalars.append(jax.device_get(scalars))
         step += size
         if callback is not None:
-            callback(step, params, all_scalars[-1])
+            callback(step, params, all_scalars[-1], opt_state)
 
     stacked = jax.tree.map(lambda *xs: np.concatenate(xs), *all_scalars)
     return params, stacked
@@ -921,7 +948,7 @@ def optimize_frames_batched(
         all_scalars.append(jax.device_get(scalars))
         step += size
         if callback is not None:
-            callback(step, params, all_scalars[-1])
+            callback(step, params, all_scalars[-1], opt_state)
 
     stacked = jax.tree.map(lambda *xs: np.concatenate(xs), *all_scalars)
     return params, stacked
