@@ -235,3 +235,66 @@ def test_dataset_and_optimization_and_predictions(kitti_root):
     assert line[0] == "Car"
     floats = list(map(float, line[1:]))
     assert all(np.isfinite(floats))
+
+
+@pytest.mark.slow
+def test_train_detector_on_pseudo_labels(tmp_path):
+    """scripts/train_detector.py: pseudo-label JSONs + images -> a few
+    DETR3D DP training steps -> checkpoint (the downstream leg of the
+    reference workflow, README.md:122-186, closed inside the framework)."""
+    root = str(tmp_path / "kitti")
+    _make_synthetic_kitti360(root)
+    # hand-written pseudo-labels for each frame (camera-space corners +
+    # pixel 2D boxes), mirroring make_predictions.py's output schema
+    ann_dir = os.path.join(root, "annotations", SEQUENCE, "image_00", "data_rect")
+    pred_dir = os.path.join(
+        root, "predictions", "vsrd", SEQUENCE, "image_00", "data_rect"
+    )
+    os.makedirs(pred_dir, exist_ok=True)
+    for ann_path in sorted(glob.glob(os.path.join(ann_dir, "*.json"))):
+        with open(ann_path) as f:
+            ann = json.load(f)
+        k = np.asarray(ann["intrinsic_matrix"])
+        boxes_3d, boxes_2d, confs = [], [], []
+        for corners in ann["boxes_3d"]["car"].values():
+            corners = np.asarray(corners)
+            pix = corners @ k.T
+            pix = pix[:, :2] / pix[:, 2:]
+            boxes_3d.append(corners.tolist())
+            boxes_2d.append(
+                [[*pix.min(axis=0)], [*pix.max(axis=0)]]
+            )
+            confs.append(0.9)
+        with open(os.path.join(pred_dir, os.path.basename(ann_path)), "w") as f:
+            json.dump(
+                {"boxes_3d": {"car": boxes_3d},
+                 "boxes_2d": {"car": boxes_2d},
+                 "confidences": {"car": confs}},
+                f,
+            )
+
+    script = os.path.join(
+        os.path.dirname(__file__), "..", "scripts", "train_detector.py"
+    )
+    out_dir = str(tmp_path / "detr_ckpt")
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
+    result = subprocess.run(
+        [sys.executable, script,
+         "--root_dirname", root, "--ckpt_dirname", "ckpts/vsrd",
+         "--out_dirname", out_dir, "--num_steps", "3",
+         "--batch_size", "2", "--height", "48", "--width", "64",
+         "--max_boxes", "4", "--num_queries", "8", "--hidden_dim", "32",
+         "--num_encoder_layers", "1", "--num_decoder_layers", "1",
+         "--num_heads", "4", "--log_intervals", "1"],
+        capture_output=True, text=True, env=env, timeout=600,
+    )
+    assert result.returncode == 0, result.stderr[-3000:]
+    assert "loss=" in result.stdout
+    losses = [
+        float(part.split("=")[1])
+        for line in result.stdout.splitlines()
+        for part in line.split()
+        if part.startswith("loss=")
+    ]
+    assert losses and all(np.isfinite(losses))
+    assert os.path.exists(os.path.join(out_dir, "step_2.npz"))

@@ -20,6 +20,20 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..models import detr3d
 
 
+def make_dp_mesh(devices=None) -> Mesh:
+    """1-axis 'dp' mesh over the local devices (SyncBN/DDP analogue)."""
+    import numpy as _np
+
+    devices = list(devices if devices is not None else jax.local_devices())
+    return Mesh(_np.asarray(devices), ("dp",))
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Place a global batch with its leading axis sharded over 'dp'."""
+    sharding = NamedSharding(mesh, P("dp"))
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
 def create_train_state(key, model, image_shape, learning_rate=1e-4):
     images = jnp.zeros((1, *image_shape, 3))
     intrinsics = jnp.eye(3)[None]
