@@ -126,11 +126,14 @@ class _FrameJob:
             metrics={k: np.asarray(v[-1]) for k, v in scalars.items()},
             valid=np.asarray(self.frame.valid),
         )
-        if opt_state is not None:
-            # Adam state rides along (KB-scale) so a preempted frame can
-            # resume mid-run from its last checkpoint (_resume_state)
-            # instead of restarting — beyond the reference's
-            # whole-frame skip (main.py:130-136).
+        if opt_state is not None and step < cfg.num_steps:
+            # Adam state rides along (mu/nu mirror the params, ~3x file
+            # size) so a preempted frame can resume mid-run from its
+            # last checkpoint (_resume_state) instead of restarting —
+            # beyond the reference's whole-frame skip (main.py:130-136).
+            # The final checkpoint skips it: _resume_state never reads a
+            # finished frame, but make_predictions/select_model load
+            # that file for every frame.
             entries["opt_state"] = jax.device_get(opt_state)
         self.saver.save(f"step_{step - 1}", **entries)
         base = step - len(scalars["loss"])
@@ -178,19 +181,31 @@ def _resume_state(job, cfg, logger):
     )
     if not steps or steps[-1] >= cfg.num_steps - 1:
         return None
-    latest = steps[-1]
-    payload = job.saver.load(f"step_{latest}")
-    if "opt_state" not in payload:
-        return None  # pre-resume checkpoint format: restart from scratch
-    params = {
-        "boxes": payload["models"]["detector"],
-        "hyper": payload["models"]["hyper_distance_field"],
-    }
-    logger.info(
-        f"[{job.image_filename}] resuming from step_{latest} "
-        f"({latest + 1}/{cfg.num_steps} steps done)"
-    )
-    return params, payload["opt_state"], latest + 1
+    # Newest first; checkpoint writes are atomic (saver.save_checkpoint
+    # tmp+os.replace), but guard against files damaged by other means —
+    # an unreadable checkpoint falls back to the previous one (or a
+    # fresh start) instead of wedging every subsequent driver run.
+    for latest in reversed(steps):
+        try:
+            payload = job.saver.load(f"step_{latest}")
+        except Exception as error:
+            logger.warning(
+                f"[{job.image_filename}] unreadable checkpoint "
+                f"step_{latest}: {error}; trying earlier"
+            )
+            continue
+        if "opt_state" not in payload:
+            return None  # pre-resume checkpoint format: restart
+        params = {
+            "boxes": payload["models"]["detector"],
+            "hyper": payload["models"]["hyper_distance_field"],
+        }
+        logger.info(
+            f"[{job.image_filename}] resuming from step_{latest} "
+            f"({latest + 1}/{cfg.num_steps} steps done)"
+        )
+        return params, payload["opt_state"], latest + 1
+    return None
 
 
 def _run_single(job, cfg, config, meters, stop_watch, logger, init_state=None):

@@ -105,6 +105,12 @@ def load_example(paths, image_size, max_boxes, class_names,
             if index >= max_boxes or c < confidence_threshold:
                 continue
             box2 = np.asarray(box2, np.float32).reshape(-1)  # [x1 y1 x2 y2]
+            # make_predictions saves raw front-clipped projections, so
+            # truncated cars extend past the image; the sigmoid-bounded
+            # 2D head lives in [0, 1] — clip the target to the image
+            box2 = np.clip(
+                box2, 0.0, np.asarray([src_w, src_h, src_w, src_h], np.float32)
+            )
             boxes_2d[index] = box2 / np.asarray(
                 [src_w, src_h, src_w, src_h], np.float32
             )
@@ -122,15 +128,19 @@ def load_example(paths, image_size, max_boxes, class_names,
     }
 
 
-def make_batch(triples, rng, args):
+def make_batch(triples, rng, args, cache):
+    """Random batch; decoded examples are memoized (the pseudo-labeled
+    frame set is finite and small at training resolution, and repeated
+    PIL decode + resize per step would stall the device otherwise)."""
     picks = [triples[rng.randrange(len(triples))] for _ in range(args.batch_size)]
-    examples = [
-        load_example(
-            p, (args.height, args.width), args.max_boxes,
-            args.class_names, args.confidence_threshold,
-        )
-        for p in picks
-    ]
+    examples = []
+    for p in picks:
+        if p not in cache:
+            cache[p] = load_example(
+                p, (args.height, args.width), args.max_boxes,
+                args.class_names, args.confidence_threshold,
+            )
+        examples.append(cache[p])
     return {
         key: jnp.asarray(np.stack([e[key] for e in examples]))
         for key in examples[0]
@@ -203,8 +213,9 @@ def main():
 
     saver = Saver(args.out_dirname)
     rng = random.Random(args.seed)
+    cache = {}
     for step in range(args.num_steps):
-        batch = dt.shard_batch(make_batch(triples, rng, args), mesh)
+        batch = dt.shard_batch(make_batch(triples, rng, args, cache), mesh)
         params, opt_state, loss, aux = step_fn(params, opt_state, batch)
         if (step + 1) % args.log_intervals == 0 or step == 0:
             parts = " ".join(

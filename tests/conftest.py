@@ -19,10 +19,25 @@ if "xla_force_host_platform_device_count" not in flags:
 # The fast tier is XLA-compile-bound (one ~15-25 s CPU compile per big
 # loss/step graph); dialing back backend optimization cuts compile ~35%
 # while keeping semantics (tolerance-checked equivalence tests still
-# pass). The slow tier (-m slow) is run-time-bound (multi-minute
-# optimization loops), so there the optimized code pays for itself —
-# only apply the diet when the slow tier wasn't requested on the CLI.
-if "slow" not in " ".join(sys.argv) and "xla_backend_optimization_level" not in flags:
+# pass). The slow tier is run-time-bound (multi-minute optimization
+# loops), so there the optimized code pays for itself — apply the diet
+# unless the CLI markexpr actually SELECTS slow tests (`-m slow`;
+# `-m "not slow"` keeps the diet on).
+
+
+def _selects_slow_tests(argv):
+    markexpr = ""
+    for index, arg in enumerate(argv):
+        if arg == "-m" and index + 1 < len(argv):
+            markexpr = argv[index + 1]
+        elif arg.startswith("-m="):
+            markexpr = arg[3:]
+    return "slow" in markexpr and "not slow" not in markexpr
+
+
+if not _selects_slow_tests(sys.argv) and (
+    "xla_backend_optimization_level" not in flags
+):
     flags += (
         " --xla_backend_optimization_level=0"
         " --xla_llvm_disable_expensive_passes=true"

@@ -60,13 +60,21 @@ def _unflatten(spec, flat, prefix=""):
 
 
 def save_checkpoint(filename: str, tree) -> None:
-    """Write a pytree (dicts/lists/tuples of arrays) to ``.npz``."""
+    """Write a pytree (dicts/lists/tuples of arrays) to ``.npz``.
+
+    Atomic: written to a sibling temp file then ``os.replace``d, so a
+    preemption mid-write never leaves a truncated checkpoint behind —
+    load-bearing for the driver's mid-frame resume, which reads the
+    latest ``step_*.npz`` on restart."""
     tree = jax.device_get(tree)
     flat = _flatten(tree)
     os.makedirs(os.path.dirname(filename) or ".", exist_ok=True)
-    np.savez_compressed(
-        filename, __spec__=json.dumps(_spec_of(tree)), **flat
-    )
+    tmp = filename + ".tmp"
+    with open(tmp, "wb") as fh:
+        np.savez_compressed(
+            fh, __spec__=json.dumps(_spec_of(tree)), **flat
+        )
+    os.replace(tmp, filename)
 
 
 def load_checkpoint(filename: str):
