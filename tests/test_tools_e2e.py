@@ -298,3 +298,44 @@ def test_train_detector_on_pseudo_labels(tmp_path):
     ]
     assert losses and all(np.isfinite(losses))
     assert os.path.exists(os.path.join(out_dir, "step_2.npz"))
+
+
+def test_train_detector_load_example_clips_boxes(tmp_path):
+    """Pseudo-label 2D boxes extending past the image (front-clipped
+    projections of truncated cars) are clipped to the image before
+    normalization — the sigmoid 2D head's targets must live in [0,1]."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    import train_detector as td
+    from PIL import Image
+
+    img = tmp_path / "0000000000.png"
+    Image.fromarray(np.zeros((40, 60, 3), np.uint8)).save(img)
+    ann = tmp_path / "ann.json"
+    ann.write_text(json.dumps({
+        "intrinsic_matrix": [[50.0, 0, 30], [0, 50.0, 20], [0, 0, 1]],
+    }))
+    pred = tmp_path / "pred.json"
+    pred.write_text(json.dumps({
+        "boxes_3d": {"car": [np.random.default_rng(0).normal(
+            size=(8, 3)).tolist()]},
+        "boxes_2d": {"car": [[[-15.0, -4.0], [75.0, 44.0]]]},
+        "confidences": {"car": [0.9]},
+    }))
+    example = td.load_example(
+        (str(img), str(pred), str(ann)), (20, 30), 4, ["car"], 0.5
+    )
+    assert example["images"].shape == (20, 30, 3)
+    assert example["valid"].tolist() == [True, False, False, False]
+    np.testing.assert_allclose(
+        example["boxes_2d"][0], [0.0, 0.0, 1.0, 1.0], atol=1e-6
+    )
+    # K rescaled to the training resolution
+    np.testing.assert_allclose(example["intrinsics"][0, 0], 50.0 * 30 / 60)
+    # below-threshold predictions are dropped
+    low = json.loads(pred.read_text())
+    low["confidences"]["car"] = [0.1]
+    pred.write_text(json.dumps(low))
+    example = td.load_example(
+        (str(img), str(pred), str(ann)), (20, 30), 4, ["car"], 0.5
+    )
+    assert example["valid"].sum() == 0
