@@ -46,6 +46,20 @@ RUNS_DIR = os.path.join(_HERE, "nf_runs")
 def make_cfg(args):
     from vsrd_tpu.pipeline import optimize as opt
 
+    if getattr(args, "production", False):
+        # production kernel settings (bench.py defaults): bf16-multiply
+        # MXU matmuls, fast trig, K=1 directional coarse pass — for
+        # quantifying the quality delta of the fast path against the
+        # same strict-mode torch anchors (use with --tag).
+        return opt.OptimizationConfig(
+            num_steps=args.steps,
+            warmup_steps=args.warmup,
+            num_rays=args.rays,
+            num_samples=args.samples,
+            deterministic=True,
+            metric_interval=args.steps,
+            checkpoint_interval=args.steps,
+        )
     return opt.OptimizationConfig(
         num_steps=args.steps,
         warmup_steps=args.warmup,
@@ -168,6 +182,11 @@ def summarize(args):
             sides = {}
             for side in ("torch", "ours"):
                 path = run_path(scene_seed, trial, side, args.tag)
+                if not os.path.exists(path) and side == "torch" and args.tag:
+                    # recipe-variant tags (e.g. --production) reuse the
+                    # strict-mode torch anchors: the torch side has no
+                    # kernel-precision variants
+                    path = run_path(scene_seed, trial, side, "")
                 if not os.path.exists(path):
                     continue
                 with open(path) as f:
@@ -218,6 +237,10 @@ def main():
     parser.add_argument("--height", type=int, default=96)
     parser.add_argument("--width", type=int, default=128)
     parser.add_argument("--tag", default="", help="suffix for run files (recipe variants)")
+    parser.add_argument("--production", action="store_true",
+                        help="ours side at production kernel settings "
+                             "(default precision + dir coarse) instead of "
+                             "strict parity mode")
     parser.add_argument(
         "--scenes", type=lambda s: [int(x) for x in s.split(",")],
         default=[0, 7],
