@@ -17,6 +17,7 @@ import collections
 import glob
 import os
 import re
+import shutil
 import sys
 import time
 
@@ -36,7 +37,13 @@ def aggregate(trace_dir, steps):
     )
     from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
-    path = glob.glob(f"{trace_dir}/**/*.xplane.pb", recursive=True)[0]
+    paths = glob.glob(f"{trace_dir}/**/*.xplane.pb", recursive=True)
+    if not paths:
+        raise SystemExit(
+            f"no .xplane.pb under {trace_dir} — the profiler produced no "
+            "device trace (non-TPU backend, or the trace failed)"
+        )
+    path = paths[0]
     xs = xplane_pb2.XSpace()
     with open(path, "rb") as f:
         xs.ParseFromString(f.read())
@@ -108,7 +115,7 @@ def main():
     wall = (time.perf_counter() - t0) / args.steps * 1e3
     print(f"{args.phase} chunk: {wall:.3f} ms/step wall")
 
-    os.system(f"rm -rf {args.trace_dir}")
+    shutil.rmtree(args.trace_dir, ignore_errors=True)
     jax.profiler.start_trace(args.trace_dir)
     run()
     jax.profiler.stop_trace()

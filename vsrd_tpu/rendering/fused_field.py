@@ -21,20 +21,27 @@ import jax
 import jax.numpy as jnp
 
 
-def _erf(x):
-    """Abramowitz-Stegun 7.1.26 rational erf (max abs err 1.5e-7).
+def _erf_poly_exp(ax):
+    """(poly(t), exp(-ax^2)) core of the Abramowitz-Stegun 7.1.26
+    rational erf (max abs err 1.5e-7), for ax = |x| >= 0:
+    erf(|x|) = 1 - poly * exp(-ax^2). Shared by `_erf` and
+    `_gelu_cdf_pdf` so the coefficients live in exactly one place.
 
     Mosaic has no erf/erfc lowering; this is elementwise VPU work and
     accurate to fp32 noise levels.
     """
-    sign = jnp.sign(x)
-    ax = jnp.abs(x)
     t = 1.0 / (1.0 + 0.3275911 * ax)
     poly = t * (
         0.254829592
         + t * (-0.284496736 + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429)))
     )
-    return sign * (1.0 - poly * jnp.exp(-ax * ax))
+    return poly, jnp.exp(-ax * ax)
+
+
+def _erf(x):
+    sign = jnp.sign(x)
+    poly, e = _erf_poly_exp(jnp.abs(x))
+    return sign * (1.0 - poly * e)
 
 
 def _gelu_exact(x):
@@ -47,13 +54,7 @@ def _gelu_cdf_pdf(y):
     """(Phi(y), phi(y)) sharing ONE exp: the A-S erf polynomial's
     exp(-(y/sqrt2)^2) term equals sqrt(2 pi) * phi(y), so the normal
     pdf the GELU tangent chains need comes for free."""
-    ax = jnp.abs(y) * (1.0 / math.sqrt(2.0))
-    t = 1.0 / (1.0 + 0.3275911 * ax)
-    poly = t * (
-        0.254829592
-        + t * (-0.284496736 + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429)))
-    )
-    e = jnp.exp(-ax * ax)
+    poly, e = _erf_poly_exp(jnp.abs(y) * (1.0 / math.sqrt(2.0)))
     cdf = 0.5 * (1.0 + jnp.sign(y) * (1.0 - poly * e))
     pdf = e * (1.0 / math.sqrt(2.0 * math.pi))
     return cdf, pdf

@@ -34,6 +34,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .fused_field import (
     FieldStatics,
+    group_size_of,
     scene_eval_stacked_dir_bwd_t,
     scene_eval_stacked_dir_t,
     scene_eval_stacked_t,
@@ -500,11 +501,26 @@ def _fused_bwd_rule(statics, tile, residuals, cotangents):
     # The recompute inside the kernel holds the tile's reverse-sweep
     # residuals in VMEM, so the backward tile is sized separately — the
     # hand-written reverse's residual set is small enough for 2048-point
-    # tiles (measured optimum); the vjp fallback needs 256.
+    # tiles (measured optimum); the vjp fallback's second-order residual
+    # set is ~8x larger and needs 256. Both caps are enforced HERE (where
+    # the tile is resolved) so they hold regardless of whether the caller
+    # passed a (fwd, bwd) tuple or a scalar, and regardless of
+    # MANUAL_BACKWARD — the caller-side groups x tile VMEM cap
+    # (optimize.py) composes with this one via min().
     if isinstance(tile, tuple):
         tile = tile[1]
-    elif statics.use_rdf:
-        tile = min(tile, 2048 if MANUAL_BACKWARD else 256)
+    if statics.use_rdf:
+        if MANUAL_BACKWARD:
+            # groups x tile scales the residual footprint (see
+            # optimize.py's 5120 budget); apply it even for scalar-tile
+            # callers so N>=24 doesn't overflow the 100 MB scoped VMEM
+            num_groups = statics.num_instances // group_size_of(
+                statics.num_instances
+            )
+            cap = max(256, (5120 // num_groups) // 256 * 256)
+        else:
+            cap = 256
+        tile = min(tile, cap)
 
     if positions.ndim == 3:
         return _fused_bwd_batched(
