@@ -169,6 +169,55 @@ class TestSaver:
         loaded = s.load("step_10")
         assert float(loaded["metrics"]["iou"]) == 0.5
 
+    def test_write_is_atomic(self, tmp_path):
+        """save_checkpoint writes via tmp + os.replace (mid-frame resume
+        reads the latest step_*.npz on restart, so a preemption
+        mid-write must never leave a truncated checkpoint)."""
+        path = str(tmp_path / "ckpt.npz")
+        saver.save_checkpoint(path, {"x": np.arange(3)})
+        assert os.listdir(str(tmp_path)) == ["ckpt.npz"]  # no .tmp left
+        # overwrite keeps the old file valid until replaced
+        saver.save_checkpoint(path, {"x": np.arange(5)})
+        np.testing.assert_array_equal(
+            saver.load_checkpoint(path)["x"], np.arange(5)
+        )
+
+    def test_driver_resume_skips_corrupt_checkpoint(self, tmp_path):
+        """_resume_state falls back to the newest READABLE checkpoint."""
+        import logging
+        import sys as _sys
+
+        _sys.path.insert(0, os.path.join(
+            os.path.dirname(__file__), "..", "scripts"
+        ))
+        import main as driver_main
+        from vsrd_tpu.pipeline import optimize as opt
+
+        s = saver.Saver(str(tmp_path))
+        good = {
+            "step": np.asarray(4),
+            "models": {"detector": {"w": np.ones(2)},
+                       "hyper_distance_field": {"h": np.ones(3)}},
+            "opt_state": {"count": np.asarray(5)},
+        }
+        s.save("step_4", **good)
+        with open(s.path("step_9.npz"), "wb") as f:
+            f.write(b"truncated")  # simulated damage
+
+        class Job:
+            saver = s
+            image_filename = "frame"
+
+        cfg = opt.OptimizationConfig(num_steps=20)
+        state = driver_main._resume_state(
+            Job(), cfg, logging.getLogger("test")
+        )
+        assert state is not None
+        params, opt_state, start = state
+        assert start == 5
+        np.testing.assert_array_equal(params["boxes"]["w"], np.ones(2))
+        assert int(opt_state["count"]) == 5
+
 
 class TestConfigurator:
     def test_hierarchical_load(self, tmp_path):
