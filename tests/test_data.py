@@ -184,13 +184,17 @@ class TestSaver:
 
     def test_driver_resume_skips_corrupt_checkpoint(self, tmp_path):
         """_resume_state falls back to the newest READABLE checkpoint."""
+        import importlib.util
         import logging
-        import sys as _sys
 
-        _sys.path.insert(0, os.path.join(
-            os.path.dirname(__file__), "..", "scripts"
-        ))
-        import main as driver_main
+        # spec-load the driver: inserting scripts/ into sys.path would
+        # shadow the stdlib `profile` module with scripts/profile.py
+        spec = importlib.util.spec_from_file_location(
+            "vsrd_driver_main",
+            os.path.join(os.path.dirname(__file__), "..", "scripts", "main.py"),
+        )
+        driver_main = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(driver_main)
         from vsrd_tpu.pipeline import optimize as opt
 
         s = saver.Saver(str(tmp_path))

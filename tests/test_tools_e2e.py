@@ -304,8 +304,17 @@ def test_train_detector_load_example_clips_boxes(tmp_path):
     """Pseudo-label 2D boxes extending past the image (front-clipped
     projections of truncated cars) are clipped to the image before
     normalization — the sigmoid 2D head's targets must live in [0,1]."""
-    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
-    import train_detector as td
+    import importlib.util
+
+    # spec-load the CLI module: inserting scripts/ into sys.path would
+    # shadow the stdlib `profile` module with scripts/profile.py
+    spec = importlib.util.spec_from_file_location(
+        "vsrd_train_detector",
+        os.path.join(os.path.dirname(__file__), "..", "scripts",
+                     "train_detector.py"),
+    )
+    td = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(td)
     from PIL import Image
 
     img = tmp_path / "0000000000.png"
