@@ -210,6 +210,11 @@ def _resume_state(job, cfg, logger):
 
 def _run_single(job, cfg, config, meters, stop_watch, logger, init_state=None):
     start = init_state[2] if init_state is not None else 0
+    if start:
+        # already-optimized steps count toward progress/ETA (no duration
+        # sample: they cost nothing this run)
+        meters.update(count=start)
+        stop_watch.restart()
     last = {"step": start}
 
     def callback(step, params, scalars, opt_state):
