@@ -11,10 +11,34 @@ Baseline: ~15 min (900 s) per frame on 1x V100 (reference README.md:128).
 
 import argparse
 import json
+import sys
 import time
 
 import jax
 import numpy as np
+
+from vsrd_tpu.utils import watchdog
+
+
+def _fail(metric, phase, message):
+    """Emit ONE structured JSON line the driver can record, then exit 1.
+
+    Round-3 postmortem: on a sick backend bench.py died in a raw
+    traceback (BENCH_r03.json rc=1 with an unparseable tail). The driver
+    parses the last stdout line as JSON, so failures must be one line."""
+    print(
+        json.dumps(
+            {
+                "metric": metric,
+                "value": None,
+                "unit": "error",
+                "vs_baseline": 0.0,
+                "error": {"phase": phase, "message": message[-2000:]},
+            }
+        ),
+        flush=True,
+    )
+    raise SystemExit(1)
 
 
 def verify_kernels():
@@ -115,8 +139,25 @@ def main():
                         help="compiled-kernel vs XLA cross-check only")
     args = parser.parse_args()
 
+    metric = (
+        "pallas_kernel_max_rel_error" if args.verify
+        else "sec_per_auto_labeled_frame"
+    )
+    # Backend init is the phase that hung for the whole round-3 budget;
+    # bound it hard so a sick plugin costs 90 s, not the driver timeout.
+    with watchdog.deadline(120, "backend_init_hard"):
+        try:
+            devices = watchdog.require_backend(90)
+        except RuntimeError as exc:
+            _fail(metric, "backend_init", str(exc))
+    print(f"[bench] backend ready: {devices}", file=sys.stderr, flush=True)
+
     if args.verify:
-        errors = verify_kernels()
+        try:
+            with watchdog.Heartbeat("verify_kernels", 30):
+                errors = verify_kernels()
+        except Exception as exc:
+            _fail(metric, "verify_kernels", f"{type(exc).__name__}: {exc}")
         ok = all(v <= 2e-4 for v in errors.values())
         print(json.dumps({
             "metric": "pallas_kernel_max_rel_error",
@@ -127,6 +168,15 @@ def main():
         }))
         raise SystemExit(0 if ok else 1)
 
+    try:
+        _run_headline(args)
+    except SystemExit:
+        raise
+    except Exception as exc:
+        _fail(metric, "headline_bench", f"{type(exc).__name__}: {exc}")
+
+
+def _run_headline(args):
     from vsrd_tpu.pipeline import frame as fm, optimize as opt
 
     if args.quick:
@@ -158,11 +208,12 @@ def main():
     params = opt.init_params(jax.random.PRNGKey(1), frame.max_instances, cfg)
     tx = opt.make_optimizer(cfg, params)
     opt_state = tx.init(params)
-    warm = opt.optimize_chunk(
-        params, opt_state, frame, jax.random.PRNGKey(1), jnp.asarray(0), cfg,
-        min(chunk, args.steps),
-    )
-    jax.block_until_ready(warm[0])
+    with watchdog.Heartbeat("warmup_compile", 30):
+        warm = opt.optimize_chunk(
+            params, opt_state, frame, jax.random.PRNGKey(1), jnp.asarray(0),
+            cfg, min(chunk, args.steps),
+        )
+        jax.block_until_ready(warm[0])
 
     t0 = time.perf_counter()
     params, scalars = opt.optimize_frame(frame, jax.random.PRNGKey(1), cfg)
