@@ -185,10 +185,17 @@ def _resume_state(job, cfg, logger):
     # tmp+os.replace), but guard against files damaged by other means —
     # an unreadable checkpoint falls back to the previous one (or a
     # fresh start) instead of wedging every subsequent driver run.
+    import zipfile as _zipfile
+
     for latest in reversed(steps):
         try:
             payload = job.saver.load(f"step_{latest}")
-        except Exception as error:
+        except PermissionError:
+            # environmental, not corruption: silently restarting would
+            # discard completed work on EVERY frame — surface it
+            raise
+        except (_zipfile.BadZipFile, ValueError, KeyError, EOFError,
+                OSError) as error:
             logger.warning(
                 f"[{job.image_filename}] unreadable checkpoint "
                 f"step_{latest}: {error}; trying earlier"

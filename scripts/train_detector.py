@@ -101,7 +101,17 @@ def load_example(paths, image_size, max_boxes, class_names,
         conf = prediction["confidences"].get(
             class_name, [1.0] * len(b3)
         )
-        for box2, box3, c in zip(b2, b3, conf):
+        if not (len(b2) == len(b3) == len(conf)):
+            raise ValueError(
+                f"{prediction_filename}: ragged prediction entry for "
+                f"{class_name!r}: {len(b2)} boxes_2d, {len(b3)} boxes_3d, "
+                f"{len(conf)} confidences"
+            )
+        # highest-confidence first, so the max_boxes cap drops the
+        # weakest detections instead of whatever came last in the file
+        order = np.argsort(np.asarray(conf, np.float32))[::-1]
+        for i in order:
+            box2, box3, c = b2[i], b3[i], conf[i]
             if index >= max_boxes or c < confidence_threshold:
                 continue
             box2 = np.asarray(box2, np.float32).reshape(-1)  # [x1 y1 x2 y2]

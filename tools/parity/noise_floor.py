@@ -59,6 +59,7 @@ def make_cfg(args):
             deterministic=True,
             metric_interval=args.steps,
             checkpoint_interval=args.steps,
+            pallas_box_coarse=getattr(args, "box_coarse", False),
         )
     return opt.OptimizationConfig(
         num_steps=args.steps,
@@ -241,6 +242,10 @@ def main():
                         help="ours side at production kernel settings "
                              "(default precision + dir coarse) instead of "
                              "strict parity mode")
+    parser.add_argument("--box-coarse", action="store_true",
+                        help="with --production: enable the box-only "
+                             "coarse pass (cfg.pallas_box_coarse) — the "
+                             "A/B arm for flipping its default")
     parser.add_argument(
         "--scenes", type=lambda s: [int(x) for x in s.split(",")],
         default=[0, 7],

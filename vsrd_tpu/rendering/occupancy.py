@@ -116,6 +116,10 @@ def occupancy_volumetric_rendering(
     next_cdf = jax.nn.sigmoid(next_sdf / sdf_std_deviation)
     opacities = jax.nn.relu((prev_cdf - next_cdf) / (prev_cdf + epsilon))
     opacities = jnp.where(occupied, opacities, 0.0)
+    # elementwise cumprod ON PURPOSE (vs renderer._exclusive_cumprod_mxu's
+    # log/exp matmul): this [T] march is small, and the elementwise form
+    # keeps exact torch/nerfacc semantics incl. finite gradients at
+    # opacity==1; the two paths agree to ~1e-6 f32 rounding otherwise
     transmittances = exclusive_cumprod(1.0 - opacities, axis=-1)
     weights = transmittances * opacities
 

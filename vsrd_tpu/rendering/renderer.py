@@ -87,6 +87,16 @@ def _exclusive_cumprod_mxu(x: jax.Array) -> jax.Array:
     MXU. x is clamped at 1e-30 so fully-opaque sections give
     transmittance exp(-69)~1e-30 -> 0 downstream without producing
     -inf * 0 NaNs in the contraction.
+
+    Gradient caveat: where the clamp is active (opacity saturated at
+    exactly 1.0) d/dx is ZERO, while the elementwise cumprod would give
+    a finite (product-of-the-rest) gradient. Saturation requires
+    prev_cdf=1, next_cdf=0, i.e. |sdf| >> std on both section ends —
+    far from the surface, where the reference gradient is ~0 anyway;
+    the NeuS std anneal keeps live sections unsaturated. occupancy.py
+    deliberately keeps the elementwise ``exclusive_cumprod`` (its [T]
+    march is tiny and it wants exact torch semantics); the two paths
+    differ at ~1e-6 f32 log/exp rounding.
     """
     s = x.shape[-1]
     logx = jnp.log(jnp.maximum(x, 1e-30))
