@@ -157,14 +157,25 @@ def build_frame_data(
     sampling = flat.max(axis=-1).astype(np.float32)
 
     # Top-K candidate pixels by sampling weight: the per-step Gumbel
-    # top-k then runs over K instead of V*H*W (~9M) pixels. The soft
-    # masks decay like sigmoid(sdf/10) away from instances, so the mass
-    # outside the top 2^18 pixels is negligible; the weights are frame
-    # constants, so this truncation is computed once (the reference
-    # re-normalizes the full map every step, main.py:620-627).
+    # top-k then runs over K instead of V*H*W (~9M) pixels; the weights
+    # are frame constants, so this truncation is computed once (the
+    # reference re-normalizes the full map every step, main.py:620-627).
+    # For real (SoftRasterizer-style) masks that decay like
+    # sigmoid(sdf/10) away from instances, the mass outside the top 2^18
+    # pixels is a tiny fraction of the total (asserted numerically in
+    # tests/test_sampling_truncation.py). For near-binary masks the
+    # in-mask plateau can exceed K with TIED weights, so ties are broken
+    # by a seeded random permutation below: the kept subset is then an
+    # unbiased uniform sample of the tied mass (same per-pixel sampling
+    # probability in expectation as the full map), not an arbitrary
+    # memory-order prefix.
     k = min(num_candidates, sampling.size)
     if k < sampling.size:
-        cand = np.argpartition(sampling, -k)[-k:].astype(np.int32)
+        tie_rng = np.random.default_rng(0x5A3D)
+        perm = tie_rng.permutation(sampling.size).astype(np.int64)
+        cand = perm[
+            np.argpartition(sampling[perm], -k)[-k:]
+        ].astype(np.int32)
     else:
         cand = np.arange(sampling.size, dtype=np.int32)
     # Descending-weight order: the bucketed two-phase Gumbel top-k
@@ -220,6 +231,7 @@ def synthetic_frame(
     max_instances: int = 4,
     seed_boxes: np.ndarray | None = None,
     with_images: bool = False,
+    num_candidates: int = 1 << 18,
 ) -> FrameData:
     """A synthetic multi-view scene with ground-truth boxes for tests and
     benchmarks (BASELINE.json config 1 analogue): cars as boxes 4-10 m in
@@ -334,4 +346,5 @@ def synthetic_frame(
         gt_boxes_3d,
         np.eye(3, dtype=np.float32),
         target_index,
+        num_candidates=num_candidates,
     )
