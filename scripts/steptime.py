@@ -39,6 +39,8 @@ def main():
     parser.add_argument("--fwd-tile", type=int, default=None)
     parser.add_argument("--bwd-tile", type=int, default=None)
     parser.add_argument("--post-only", action="store_true")
+    parser.add_argument("--box-coarse", action="store_true",
+                        help="pallas_box_coarse=True (box-only coarse pass)")
     parser.add_argument("--frames", type=int, default=1,
                         help=">1: co-optimize F stacked frames")
     args = parser.parse_args()
@@ -51,6 +53,8 @@ def main():
         overrides["pallas_tile"] = args.fwd_tile
     if args.bwd_tile:
         overrides["pallas_bwd_tile"] = args.bwd_tile
+    if args.box_coarse:
+        overrides["pallas_box_coarse"] = True
     cfg = opt.OptimizationConfig(
         num_steps=3000,
         warmup_steps=1000,

@@ -32,6 +32,7 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 from vsrd_tpu.models import detr3d  # noqa: E402
+from vsrd_tpu.pipeline import detector_eval  # noqa: E402
 from vsrd_tpu.pipeline import detector_training as dt  # noqa: E402
 from vsrd_tpu.utils.saver import Saver  # noqa: E402
 
@@ -181,6 +182,13 @@ def main():
     parser.add_argument("--deformable", action="store_true")
     parser.add_argument("--log_intervals", type=int, default=50)
     parser.add_argument("--ckpt_intervals", type=int, default=1000)
+    parser.add_argument("--eval_intervals", type=int, default=1000,
+                        help="AP/matched-IoU eval cadence (0 disables)")
+    parser.add_argument("--holdout_fraction", type=float, default=0.1,
+                        help="fraction of frames held out for eval "
+                             "(0: evaluate on the training frames)")
+    parser.add_argument("--eval_frames", type=int, default=64,
+                        help="max frames per eval pass")
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args()
 
@@ -194,6 +202,20 @@ def main():
             "tools/kitti_360/make_predictions.py first"
         )
     print(f"{len(triples)} pseudo-labeled frames", flush=True)
+
+    # deterministic holdout split for the eval signal
+    split_rng = random.Random(args.seed + 1)
+    shuffled = list(triples)
+    split_rng.shuffle(shuffled)
+    n_hold = int(len(shuffled) * args.holdout_fraction)
+    eval_triples = shuffled[:n_hold] or shuffled
+    triples = shuffled[n_hold:] or shuffled
+    if args.eval_intervals:
+        print(
+            f"train {len(triples)} / eval {len(eval_triples)} frames "
+            f"({'holdout' if n_hold else 'train set'})",
+            flush=True,
+        )
 
     devices = jax.local_devices()
     # largest dp size that divides the global batch (a 2-frame batch on
@@ -224,6 +246,50 @@ def main():
     saver = Saver(args.out_dirname)
     rng = random.Random(args.seed)
     cache = {}
+
+    def run_eval(step):
+        """AP@{0.25,0.5} + matched 3D IoU / corner L1 on the eval split
+        (vsrd_tpu.pipeline.detector_eval)."""
+        picks = eval_triples[: args.eval_frames]
+        batches = []
+        for start in range(0, len(picks), args.batch_size):
+            group = picks[start:start + args.batch_size]
+            if len(group) < args.batch_size:
+                break  # keep shapes static for the jitted apply
+            examples = []
+            for p in group:
+                if p not in cache:
+                    cache[p] = load_example(
+                        p, (args.height, args.width), args.max_boxes,
+                        args.class_names, args.confidence_threshold,
+                    )
+                examples.append(cache[p])
+            batches.append({
+                key: jnp.asarray(np.stack([e[key] for e in examples]))
+                for key in examples[0]
+            })
+        if not batches:  # fewer eval frames than a batch: use one ragged
+            examples = [
+                cache.setdefault(p, load_example(
+                    p, (args.height, args.width), args.max_boxes,
+                    args.class_names, args.confidence_threshold,
+                ))
+                for p in picks
+            ]
+            batches = [{
+                key: jnp.asarray(np.stack([e[key] for e in examples]))
+                for key in examples[0]
+            }]
+        metrics = detector_eval.evaluate_model(
+            model, params, batches, num_classes=len(args.class_names)
+        )
+        parts = " ".join(
+            f"{k}={v:.4f}" if isinstance(v, float) else f"{k}={v}"
+            for k, v in sorted(metrics.items())
+        )
+        print(f"eval step {step + 1}: {parts}", flush=True)
+        return metrics
+
     for step in range(args.num_steps):
         batch = dt.shard_batch(make_batch(triples, rng, args, cache), mesh)
         params, opt_state, loss, aux = step_fn(params, opt_state, batch)
@@ -237,6 +303,11 @@ def main():
                 f"loss={float(loss):.4f} {parts}",
                 flush=True,
             )
+        if args.eval_intervals and (
+            (step + 1) % args.eval_intervals == 0
+            or step + 1 == args.num_steps
+        ):
+            run_eval(step)
         if (step + 1) % args.ckpt_intervals == 0 or step + 1 == args.num_steps:
             saver.save(
                 f"step_{step}",

@@ -98,9 +98,12 @@ class OptimizationConfig:
     # surface always lies inside the box isosurface — box-only coarse
     # weights cover it, and the fine pass (which re-evaluates the full
     # field at the merged coarse+importance samples) corrects the
-    # placement. Same gating as pallas_dir_coarse. Off by default until
-    # the A/B iou validation in NOTES.md says otherwise.
-    pallas_box_coarse: bool = False
+    # placement. Same gating as pallas_dir_coarse. Default ON per the
+    # round-4 A/B: paired per-trial GT-IoU deltas vs the full-RDF coarse
+    # arm are within seed noise on both scenes (NOISE_FLOOR_boxcoarse
+    # .json, tools/parity/PARITY.md) and it saves 0.9 ms/step at 8
+    # instances (8.33 -> 7.46) and 3.3 ms at 32 (34.4 -> 31.0).
+    pallas_box_coarse: bool = True
     # parity/debug mode: midpoint quadrature + linspace importance
     # samples instead of stratified jitter (matches the reference
     # samplers' own deterministic modes, samplers.py:5-8,17-19)
