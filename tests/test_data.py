@@ -143,6 +143,147 @@ class TestTransforms:
             assert out["image"].min() >= 0.0 and out["image"].max() <= 1.0
 
 
+class TestAdversarialMasks:
+    """Real-data mask pathologies the synthetic e2e can't produce
+    (reference behaviors: geometric_transforms.py:320-360 MaskRefiner,
+    :233-317 SoftRasterizer, kitti_360_dataset.py:177-188 filters)."""
+
+    def test_mask_refiner_multi_blob_keeps_largest(self):
+        sample = _sample(n=1)
+        masks = np.zeros_like(sample["masks"])
+        masks[0, 4:14, 6:20] = 1.0      # large blob (140 px)
+        masks[0, 24:27, 40:44] = 1.0    # small disjoint blob (12 px)
+        sample["masks"] = masks
+        out = tf.MaskRefiner()(sample)
+        assert out["masks"][0][8, 10] == 1.0
+        # refiner keeps only the largest external contour
+        assert out["masks"][0][25, 41] == 0.0
+
+    def test_soft_rasterizer_degenerate_contours(self):
+        # single pixel (1-vertex contour), 2-pixel line (2-vertex), and
+        # empty mask: all must fall back without NaN/crash
+        sample = _sample(n=3)
+        masks = np.zeros_like(sample["masks"])
+        masks[0, 10, 10] = 1.0
+        masks[1, 5, 20:22] = 1.0
+        # masks[2] stays empty
+        sample["masks"] = masks
+        out = tf.SoftRasterizer()(sample)
+        assert np.isfinite(out["soft_masks"]).all()
+        # <3-vertex polygons fall back to the hard mask unchanged
+        np.testing.assert_array_equal(out["soft_masks"][0], masks[0])
+        np.testing.assert_array_equal(out["soft_masks"][2], masks[2])
+
+    def test_mask_refiner_degenerate_contours_no_crash(self):
+        sample = _sample(n=2)
+        masks = np.zeros_like(sample["masks"])
+        masks[0, 10, 10] = 1.0          # 1-px
+        masks[1, 5, 20:22] = 1.0        # 2-px line
+        sample["masks"] = masks
+        out = tf.MaskRefiner()(sample)
+        assert out["masks"].shape == masks.shape
+        assert np.isfinite(out["masks"]).all()
+
+    def test_polygon_distance_map_two_vertices(self):
+        poly = np.array([[5.0, 5.0], [20.0, 5.0]], np.float32)
+        dist = tf.polygon_distance_map(poly, (16, 32))
+        assert np.isfinite(dist).all()
+        assert dist[5, 12] < 0.5        # on the segment
+        np.testing.assert_allclose(dist[15, 12], 10.0, atol=0.1)
+
+    def test_full_chain_drops_all_instances(self):
+        # every instance fails the area filter -> all downstream
+        # transforms must handle empty instance arrays
+        from vsrd_tpu.data.kitti360 import default_transforms
+
+        sample = _sample(n=2)
+        sample["masks"][:] = 0.0
+        sample["masks"][0, 3, 3] = 1.0  # below target_min_mask_area
+        for transform in default_transforms(
+            image_size=sample["image"].shape[:2], target=True
+        ):
+            sample = transform(sample)
+        assert len(sample["masks"]) == 0
+        assert len(sample["boxes_2d"]) == 0
+        assert sample["soft_masks"].shape[0] == 0
+
+    def test_full_chain_holed_and_ragged_mask(self):
+        # hole + ragged boundary + secondary blob: the production chain
+        # must emit a filled, finite soft mask
+        from vsrd_tpu.data.kitti360 import default_transforms
+
+        sample = _sample(n=1)
+        h, w = sample["image"].shape[:2]
+        masks = np.zeros((1, h, w), np.float32)
+        masks[0, 6:26, 8:40] = 1.0
+        masks[0, 12:16, 14:20] = 0.0    # hole
+        masks[0, 6, 8:40:2] = 0.0       # ragged top edge
+        masks[0, 28:30, 42:45] = 1.0    # small secondary blob
+        sample["masks"] = masks
+        for transform in default_transforms(
+            image_size=(h, w), target=True
+        ):
+            sample = transform(sample)
+        assert sample["soft_masks"].shape[0] == 1
+        soft = sample["soft_masks"][0]
+        assert np.isfinite(soft).all()
+        assert soft[14, 16] > 0.5       # hole filled by the refiner
+
+
+class TestAlignToTarget:
+    def test_instance_enter_leave_mid_group(self):
+        # target sees ids {0, 1, 2}; source view 1 misses id 1 (left the
+        # view) and adds id 5 (entered); source view 2 sees none
+        from vsrd_tpu.data.kitti360 import align_to_target
+
+        target = _sample(n=3)
+        target["instance_ids"] = np.array([0, 1, 2])
+        target["soft_masks"] = target["masks"].copy()
+        target["boxes_2d"] = np.tile(
+            np.array([[[1.0, 2.0], [3.0, 4.0]]], np.float32), (3, 1, 1)
+        )
+
+        src = _sample(n=2, seed=1)
+        src["instance_ids"] = np.array([5, 2])
+        src["soft_masks"] = src["masks"].copy()
+        src["boxes_2d"] = np.stack(
+            [np.full((2, 2), 9.0, np.float32),
+             np.full((2, 2), 7.0, np.float32)]
+        )
+
+        empty = _sample(n=0, seed=2)
+        empty["instance_ids"] = np.array([], np.int64)
+        empty["soft_masks"] = np.zeros((0, *empty["image"].shape[:2]),
+                                       np.float32)
+        empty["boxes_2d"] = np.zeros((0, 2, 2), np.float32)
+        empty["masks"] = np.zeros((0, *empty["image"].shape[:2]), np.float32)
+
+        kwargs = align_to_target({0: target, -1: src, 1: empty},
+                                 max_instances=4)
+        # view order is sorted relative indices: [-1, 0, 1]
+        np.testing.assert_array_equal(
+            kwargs["visible"],
+            [[False, False, True, False],
+             [True, True, True, False],
+             [False, False, False, False]],
+        )
+        assert kwargs["valid"].tolist() == [True, True, True, False]
+        # id 2 is source index 1 in view -1: its box is the 7s
+        np.testing.assert_array_equal(
+            kwargs["gt_boxes_2d"][0, 2], np.full((2, 2), 7.0)
+        )
+        # invisible instances have zero-filled masks and boxes
+        assert kwargs["soft_masks"][0][1].sum() == 0.0
+        np.testing.assert_array_equal(
+            kwargs["gt_boxes_2d"][0, 0], np.zeros((2, 2))
+        )
+        # target view aligned to itself
+        np.testing.assert_array_equal(
+            kwargs["gt_boxes_2d"][1, 0], target["boxes_2d"][0]
+        )
+        assert np.isnan(kwargs["gt_boxes_3d"][3]).all()
+
+
 class TestSaver:
     def test_roundtrip(self, tmp_path):
         tree = {
