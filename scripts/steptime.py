@@ -41,6 +41,15 @@ def main():
     parser.add_argument("--post-only", action="store_true")
     parser.add_argument("--box-coarse", action="store_true",
                         help="pallas_box_coarse=True (box-only coarse pass)")
+    parser.add_argument("--layout", default="compact",
+                        choices=("compact", "kitti"),
+                        help="instance placement: compact (z 8-16) or "
+                        "kitti (z 5-80, realistic spread)")
+    parser.add_argument("--group-skip", action="store_true",
+                        help="enable pallas_group_skip (default off; see "
+                        "OptimizationConfig.pallas_group_skip)")
+    parser.add_argument("--no-group-skip", action="store_true",
+                        help="force-disable pallas_group_skip")
     parser.add_argument("--frames", type=int, default=1,
                         help=">1: co-optimize F stacked frames")
     args = parser.parse_args()
@@ -55,6 +64,10 @@ def main():
         overrides["pallas_bwd_tile"] = args.bwd_tile
     if args.box_coarse:
         overrides["pallas_box_coarse"] = True
+    if args.group_skip:
+        overrides["pallas_group_skip"] = True
+    if args.no_group_skip:
+        overrides["pallas_group_skip"] = False
     cfg = opt.OptimizationConfig(
         num_steps=3000,
         warmup_steps=1000,
@@ -70,6 +83,7 @@ def main():
             image_size=(376, 1408),
             num_instances=args.instances,
             max_instances=args.instances,
+            layout=args.layout,
         )
         for i in range(args.frames)
     ]

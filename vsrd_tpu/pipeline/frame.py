@@ -232,11 +232,20 @@ def synthetic_frame(
     seed_boxes: np.ndarray | None = None,
     with_images: bool = False,
     num_candidates: int = 1 << 18,
+    layout: str = "compact",
 ) -> FrameData:
     """A synthetic multi-view scene with ground-truth boxes for tests and
     benchmarks (BASELINE.json config 1 analogue): cars as boxes 4-10 m in
     front of a camera rig moving along +z, masks rendered analytically by
-    point-in-box tests along rays."""
+    point-in-box tests along rays.
+
+    ``layout="compact"`` places instances at z in [8, 16], x in [-4, 4]
+    (the original bench scene, ~9 m spatial spread). ``layout="kitti"``
+    spreads them like real KITTI-360 frames — z in [5, 80] with lateral
+    offsets bounded by the viewing frustum (|x| <= 0.3 z), the regime
+    the reference's 50-100 m location range targets
+    (reference box_parameters at vsrd/models/box_parameters.py) and the
+    one where `pallas_group_skip` pays."""
     rng = np.random.default_rng(int(jax.random.randint(key, (), 0, 2**31 - 1)))
     h, w = image_size
 
@@ -259,14 +268,22 @@ def synthetic_frame(
 
     # instances: boxes spread in front of the rig
     if seed_boxes is None:
-        centers = np.stack(
-            [
-                rng.uniform(-4, 4, num_instances),
-                rng.uniform(0.3, 0.8, num_instances),
-                rng.uniform(8, 16, num_instances),
-            ],
-            axis=-1,
-        ).astype(np.float32)
+        if layout == "kitti":
+            depths = rng.uniform(5, 80, num_instances)
+            lateral = depths * rng.uniform(-0.3, 0.3, num_instances)
+            centers = np.stack(
+                [lateral, rng.uniform(0.3, 0.8, num_instances), depths],
+                axis=-1,
+            ).astype(np.float32)
+        else:
+            centers = np.stack(
+                [
+                    rng.uniform(-4, 4, num_instances),
+                    rng.uniform(0.3, 0.8, num_instances),
+                    rng.uniform(8, 16, num_instances),
+                ],
+                axis=-1,
+            ).astype(np.float32)
     else:
         centers = seed_boxes[:, :3].astype(np.float32)
         num_instances = len(centers)

@@ -104,6 +104,30 @@ class OptimizationConfig:
     # .json, tools/parity/PARITY.md) and it saves 0.9 ms/step at 8
     # instances (8.33 -> 7.46) and 3.3 ms at 32 (34.4 -> 31.0).
     pallas_box_coarse: bool = True
+    # Per-tile instance-group skipping for scenes with > 8 instances:
+    # instances are azimuth-sorted into spatially coherent groups of 8,
+    # rays azimuth-sorted so kernel tiles are direction-coherent, and
+    # each kernel grid step only evaluates groups whose lower-bound
+    # distance comes within `margin + 12 * temperature` meters of the
+    # union distance's upper bound for some point of the tile
+    # (fused_field.group_tile_mask — a RELATIVE gap criterion, since
+    # softmin weights are exp(-(d_g - u)/tau); the nearest group is
+    # always kept). Dropped terms are O(e^-12) in the softmin weights /
+    # NeuS alphas / eikonal gradients.
+    #
+    # Default OFF: measured on TPU v5e with the realistic KITTI-spread
+    # bench layout (z in [5, 80]), the sound relative criterion keeps
+    # ~100% of (group, tile) pairs — ray tiles span the full sample
+    # depth range, and at far samples the softmin genuinely mixes
+    # groups — so the cond + two-pass-backward overhead only costs:
+    # 16-instance step 15.10 -> 19.77 ms, and the 4-group backward
+    # blows up Mosaic compile time (>10 min). The earlier ABSOLUTE
+    # keep criterion (distance-to-tile < threshold) did skip, but
+    # corrupts eikonal gradients up to 2x at samples where two distant
+    # groups tie (see tests/test_group_skip.py tied-points case).
+    # Kept as an option for genuinely clustered scenes; correctness is
+    # locked by tests/test_group_skip.py either way.
+    pallas_group_skip: bool = False
     # parity/debug mode: midpoint quadrature + linspace importance
     # samples instead of stratified jitter (matches the reference
     # samplers' own deterministic modes, samplers.py:5-8,17-19)
@@ -353,6 +377,7 @@ def compute_loss(
         # multiple; pad the scene to N8 = ceil(N/8)*8 (padded slots are
         # invalid and their outputs are sliced away).
         n8 = (n + 7) // 8 * 8
+        group_skip = cfg.pallas_group_skip and n8 > 8
         statics = fused_field.FieldStatics(
             num_instances=n8,
             num_frequencies=cfg.num_frequencies,
@@ -363,6 +388,7 @@ def compute_loss(
             # (bf16 saves nothing) and Mosaic lacks bf16 compare ops
             field_dtype=None,
             matmul_precision=cfg.pallas_matmul_precision,
+            group_skip=group_skip,
         )
         pad = n8 - n
 
@@ -373,19 +399,40 @@ def compute_loss(
             return jnp.pad(x, widths, constant_values=fill)
 
         def _scene_inputs(decoded_f, valid_bool, field_weights_f):
-            locations_p = pad_rows(decoded_f["locations"])
+            locations = decoded_f["locations"]
+            orientations = decoded_f["orientations"]
+            dimensions = decoded_f["dimensions"]
+            if group_skip:
+                # azimuth-sort instances so each group of 8 is spatially
+                # coherent (group skipping fires per group; interleaved
+                # groups would never skip). Invalid slots sort last.
+                # The permutation is a gather, so parameter gradients
+                # scatter back through it; kernel weight outputs are
+                # unpermuted in field_with_grad below.
+                azimuth = jnp.arctan2(locations[:, 0], locations[:, 2])
+                perm = jnp.argsort(jnp.where(valid_bool, azimuth, 1e9))
+                inv_perm = jnp.argsort(perm)
+                locations = jnp.take(locations, perm, axis=0)
+                orientations = jnp.take(orientations, perm, axis=0)
+                dimensions = jnp.take(dimensions, perm, axis=0)
+                valid_bool = jnp.take(valid_bool, perm, axis=0)
+                if use_rdf:
+                    field_weights_f = jnp.take(field_weights_f, perm, axis=0)
+            else:
+                inv_perm = jnp.arange(n)
+            locations_p = pad_rows(locations)
             rotations_p = (
-                decoded_f["orientations"]
+                orientations
                 if pad == 0
                 else jnp.concatenate(
                     [
-                        decoded_f["orientations"],
+                        orientations,
                         jnp.broadcast_to(jnp.eye(3), (pad, 3, 3)),
                     ],
                     axis=0,
                 )
             )
-            dimensions_p = pad_rows(decoded_f["dimensions"], fill=1.0)
+            dimensions_p = pad_rows(dimensions, fill=1.0)
             valid_f = pad_rows(valid_bool.astype(jnp.float32))
             layers = (
                 fused_field.build_interleaved_layers(
@@ -396,16 +443,25 @@ def compute_loss(
                 if use_rdf
                 else ()
             )
-            return locations_p, rotations_p, dimensions_p, valid_f, layers
+            return (locations_p, rotations_p, dimensions_p, valid_f, layers,
+                    inv_perm)
 
         inputs_fn = (
             jax.vmap(_scene_inputs, in_axes=(0, 0, 0 if use_rdf else None))
             if batched
             else _scene_inputs
         )
-        locations_p, rotations_p, dimensions_p, valid_f, layers = inputs_fn(
-            decoded, frame.valid, field_weights
-        )
+        (locations_p, rotations_p, dimensions_p, valid_f, layers,
+         inv_perm) = inputs_fn(decoded, frame.valid, field_weights)
+
+        def _unpermute_weights(w):
+            # [..., :n] kernel weight columns follow the permuted
+            # instance order; map them back for downstream consumers
+            if not group_skip:
+                return w
+            if batched:
+                return jnp.take_along_axis(w, inv_perm[:, None, :], axis=-1)
+            return jnp.take(w, inv_perm, axis=-1)
 
         if use_rdf:
             # The reverse kernel's recompute residuals are per-group slabs
@@ -436,7 +492,7 @@ def compute_loss(
             )
             return (
                 u.reshape(shape),
-                w[..., :n].reshape(*shape, n),
+                _unpermute_weights(w[..., :n]).reshape(*shape, n),
                 g.reshape(*shape, 3),
             )
 
@@ -475,7 +531,7 @@ def compute_loss(
                 )
                 return (
                     u.reshape(shape),
-                    w[..., :n].reshape(*shape, n),
+                    _unpermute_weights(w[..., :n]).reshape(*shape, n),
                     ud.reshape(shape),
                 )
 
@@ -564,6 +620,22 @@ def compute_loss(
         key_render = jax.random.fold_in(key_render, jax.lax.axis_index(sp_axis))
     rays_fn = jax.vmap(ray_directions_at) if batched else ray_directions_at
     origins, directions = rays_fn(frame, ray_idx)
+
+    if use_pallas and cfg.pallas_group_skip and (n + 7) // 8 * 8 > 8:
+        # azimuth-sort the sampled rays so kernel point tiles are
+        # direction-coherent — group skipping (see pallas_group_skip)
+        # fires per tile, and randomly ordered rays would see every
+        # instance group in every tile. Ray order is otherwise
+        # irrelevant: targets are gathered by ray_idx and all ray
+        # reductions are means. (Changes the per-ray stochastic sample
+        # pairing, i.e. a different RNG realization, not the statistics.)
+        ray_azimuth = jnp.arctan2(directions[..., 0], directions[..., 2])
+        ray_order = jnp.argsort(ray_azimuth, axis=-1)
+        ray_idx = jnp.take_along_axis(ray_idx, ray_order, axis=-1)
+        origins = jnp.take_along_axis(origins, ray_order[..., None], axis=-2)
+        directions = jnp.take_along_axis(
+            directions, ray_order[..., None], axis=-2
+        )
 
     out = renderer.hierarchical_render(
         field,

@@ -83,6 +83,98 @@ class FieldStatics(NamedTuple):
     # matmul precision for the stacked evaluator ('highest' = exact f32,
     # 'default' = one-pass bf16 multiply with f32 accumulation)
     matmul_precision: str = "highest"
+    # Per-tile instance-group skipping: a kernel grid step only
+    # evaluates instance groups that come within `group_skip_margin +
+    # group_skip_tau_scale * temperature` meters OF THE NEAREST group
+    # for some point of the tile (a RELATIVE criterion — softmin weights
+    # depend on d_g - u, not on d_g: a group 50 m away still gets ~37%
+    # weight if the nearest group is 49 m away and tau = 1). Skipped
+    # groups read as distance `_SKIP_DISTANCE`, so their softmin weights
+    # underflow to exactly 0 and the dropped weight / alpha / gradient
+    # terms are O(exp(-(margin + tau_scale*tau)/tau)) = O(e^-tau_scale).
+    # Only meaningful for num_instances > 8 (multiple groups) on
+    # spatially spread scenes.
+    group_skip: bool = False
+    group_skip_margin: float = 2.0
+    group_skip_tau_scale: float = 12.0
+
+
+# Distance reported for instances in skipped groups: far enough that
+# exp(-d/tau) underflows to exactly 0.0 in f32 for every annealed tau,
+# small enough that d/tau and d*du stay finite.
+_SKIP_DISTANCE = 1.0e4
+
+
+def group_skip_threshold(statics: FieldStatics, temperature):
+    """The relative keep-slack A(tau): groups whose lower-bound distance
+    exceeds the union distance's upper bound by more than A everywhere in
+    a tile are skipped. Sized so the dropped softmin-weight terms
+    exp(-(d_g - u)/tau) are O(e^-tau_scale) (std and tau share the same
+    cosine annealing schedule, optimize.py:49-52; the margin absorbs the
+    sphere-bound slack and the <= 1 m sigmoid residual)."""
+    return statics.group_skip_margin + statics.group_skip_tau_scale * temperature
+
+
+# The RDF residual added to each box SDF is sigmoid(raw - 1) in (0, 1)
+# (see `_group_distances`), so the union distance u(p) = softmin_i d_i(p)
+# is upper-bounded by min_i ||p - c_i|| + 1 (the box center is inside the
+# box, so the box SDF is at most the distance to the center).
+_RESIDUAL_BOUND = 1.0
+
+
+def group_tile_mask(positions, locations, half_dims, valid, threshold,
+                    tile: int, g_size: int):
+    """Per-(group, tile) keep mask [G, ceil(P/tile)] int32.
+
+    A group is kept iff for some point p of the tile its optimistic
+    distance (distance to the circumscribed sphere of some valid member
+    instance — a lower bound on box SDF + non-negative residual) comes
+    within ``threshold`` meters of an UPPER bound on the union distance
+    u(p) (min over valid instances of center distance + residual bound).
+    The criterion is relative, not absolute: a skipped group's softmin
+    weight is exp(-(d_g - u)/tau), so what must be large is the gap to
+    the nearest group, not the distance itself — the eikonal term
+    evaluates grad u at ray samples far from every instance, where two
+    distant groups can still share the softmin weight. The per-tile
+    nearest group is force-kept so every tile has at least one live
+    group.
+
+    ``positions [P, 3]`` is the UNPADDED point set; tail-tile padding
+    slots never force a keep. Instance index g * g_size + j must match
+    the kernel's group slicing.
+    """
+    p = positions.shape[0]
+    n = locations.shape[0]
+    num_groups = n // g_size
+    num_tiles = (p + tile - 1) // tile
+    big = 1e9
+    positions = jax.lax.stop_gradient(positions)
+    locations = jax.lax.stop_gradient(locations)
+    half_dims = jax.lax.stop_gradient(half_dims)
+    d = jnp.linalg.norm(
+        positions[:, None, :] - locations[None, :, :], axis=-1
+    )                                                            # [P, N]
+    valid_row = valid.reshape(1, n) > 0.5
+    lower = jnp.where(valid_row, d - jnp.linalg.norm(half_dims, axis=-1)[None, :], big)
+    upper = jnp.where(valid_row, d + _RESIDUAL_BOUND, big)
+    ub_min = jnp.min(upper, axis=-1, keepdims=True)              # [P, 1]
+    # gap to the nearest group, with big - big = 0 when everything is
+    # invalid (keep-all: the frame contributes nothing anyway)
+    rel = lower - ub_min
+    rel_g = jnp.min(rel.reshape(p, num_groups, g_size), axis=-1)
+    pad = num_tiles * tile - p
+    if pad:
+        rel_g = jnp.concatenate(
+            [rel_g, jnp.full((pad, num_groups), big, rel_g.dtype)],
+            axis=0,
+        )
+    tile_min = jnp.min(
+        rel_g.reshape(num_tiles, tile, num_groups), axis=1
+    )                                                            # [T, G]
+    keep = tile_min <= threshold
+    nearest = jnp.argmin(tile_min, axis=-1)
+    keep = keep | (jnp.arange(num_groups)[None, :] == nearest[:, None])
+    return keep.T.astype(jnp.int32)                              # [G, T]
 
 
 def split_field_layers(weights: jax.Array,
@@ -707,7 +799,7 @@ def _group_distances(pos_t, dirs, locations, rotations, half_dims, mats_g,
 
 def _scene_eval_stacked_core(pos_t, dirs, locations, rotations, half_dims,
                              valid, mats, temperature,
-                             statics: FieldStatics):
+                             statics: FieldStatics, group_mask=None):
     """(u [1, T], weights [N, T], u_dots [K, T]) with hand-rolled tangents.
 
     ``pos_t [3, T]``; per-instance params stacked as [N, ...] with all
@@ -725,11 +817,18 @@ def _scene_eval_stacked_core(pos_t, dirs, locations, rotations, half_dims,
     is what the Pallas backward kernel uses: the gradient cotangent dg
     fixes one direction per point, so its VJP only needs a 2T-wide
     stacked matmul instead of 4T.
+
+    ``group_mask`` (optional, one int scalar per group) skips whole
+    instance groups: a masked-off group's compute sits in the dead arm
+    of a `lax.cond` and its distances read `_SKIP_DISTANCE` (softmin
+    weight exactly 0). Built for per-tile group skipping inside the
+    Pallas kernels (`group_tile_mask`).
     """
     n = statics.num_instances
     k_tangents = 3 if dirs is None else 1
     g_size = group_size_of(n)
     num_groups = n // g_size
+    t = pos_t.shape[1]
 
     if num_groups == 1:
         distances, t_dist = _group_distances(
@@ -741,11 +840,29 @@ def _scene_eval_stacked_core(pos_t, dirs, locations, rotations, half_dims,
         tdist_parts = [[] for _ in range(k_tangents)]
         for g in range(num_groups):
             sl = slice(g * g_size, (g + 1) * g_size)
-            d_g, t_g = _group_distances(
-                pos_t, dirs, locations[sl], rotations[sl], half_dims[sl],
-                tuple(m[g] for m in mats), temperature, statics, g_size,
-                k_tangents,
-            )
+
+            def live(sl=sl, g=g):
+                d_g, t_g = _group_distances(
+                    pos_t, dirs, locations[sl], rotations[sl],
+                    half_dims[sl], tuple(m[g] for m in mats), temperature,
+                    statics, g_size, k_tangents,
+                )
+                return d_g, tuple(t_g)
+
+            if group_mask is None:
+                d_g, t_g = live()
+            else:
+
+                def dead():
+                    return (
+                        jnp.full((g_size, t), _SKIP_DISTANCE, pos_t.dtype),
+                        tuple(
+                            jnp.zeros((g_size, t), pos_t.dtype)
+                            for _ in range(k_tangents)
+                        ),
+                    )
+
+                d_g, t_g = jax.lax.cond(group_mask[g] != 0, live, dead)
             dist_parts.append(d_g)
             for j in range(k_tangents):
                 tdist_parts[j].append(t_g[j])
@@ -770,18 +887,19 @@ def _scene_eval_stacked_core(pos_t, dirs, locations, rotations, half_dims,
 
 
 def scene_eval_stacked_t(pos_t, locations, rotations, half_dims, valid,
-                         mats, temperature, statics: FieldStatics):
+                         mats, temperature, statics: FieldStatics,
+                         group_mask=None):
     """(u [1, T], weights [N, T], grads [3, T]): spatial gradient via the
     3 coordinate basis tangents. See `_scene_eval_stacked_core`."""
     return _scene_eval_stacked_core(
         pos_t, None, locations, rotations, half_dims, valid, mats,
-        temperature, statics,
+        temperature, statics, group_mask,
     )
 
 
 def scene_eval_stacked_dir_t(pos_t, dir_t, locations, rotations, half_dims,
                              valid, mats, temperature,
-                             statics: FieldStatics):
+                             statics: FieldStatics, group_mask=None):
     """(u [1, T], weights [N, T], u_dot [1, T]): directional derivative of
     the union SDF along the per-point direction ``dir_t [3, T]``.
 
@@ -792,7 +910,7 @@ def scene_eval_stacked_dir_t(pos_t, dir_t, locations, rotations, half_dims,
     """
     return _scene_eval_stacked_core(
         pos_t, dir_t, locations, rotations, half_dims, valid, mats,
-        temperature, statics,
+        temperature, statics, group_mask,
     )
 
 
@@ -1164,7 +1282,8 @@ def _stage_a_bwd(distances, td, valid, temperature, du, dw):
 
 def scene_eval_stacked_dir_bwd_t(pos_t, dg_t, locations, rotations, half_dims,
                                  valid, mats, temperature,
-                                 statics: FieldStatics, du, dw):
+                                 statics: FieldStatics, du, dw,
+                                 group_mask=None):
     """Hand-written VJP of ``scene_eval_stacked_dir_t`` w.r.t.
     (locations, rotations, half_dims, mats) with output cotangents
     (``du`` [1, T] on u, ``dw`` [N, T] on weights, ones on u_dot).
@@ -1172,10 +1291,90 @@ def scene_eval_stacked_dir_bwd_t(pos_t, dg_t, locations, rotations, half_dims,
     Returns ``(dloc [N,3], drot9 [N,9] row-major, dhalf [N,3],
     dmats: list per layer of list per group of 2D blocks)`` — 2D shapes
     throughout so the Pallas kernel body never reshapes >2D.
+
+    With ``group_mask`` (per-tile group skipping) the sweep runs in TWO
+    passes instead of one: pass 1 computes only (d, td) per group under
+    `lax.cond` (the residual keeps are dead code there, so XLA prunes
+    them and the dead arm fills two [g, T] slabs); after stage A, pass 2
+    re-runs the residual-saving forward FUSED with the reverse sweep
+    inside the live arm, so the big recompute residuals never escape a
+    cond as values (a dead arm would otherwise have to zero-fill ~10 MB
+    of residual buffers per skipped group). Live groups pay one extra
+    plain forward; skipped groups cost two slab fills. Skipped groups'
+    d_bar/td_bar are exactly zero (their softmin weights underflow), so
+    dropping their reverse sweep is exact given pass 1's distances.
     """
     n = statics.num_instances
     g_size = group_size_of(n)
     num_groups = n // g_size
+    t = pos_t.shape[1]
+
+    if group_mask is not None and num_groups > 1:
+        ds, tds = [], []
+        for g in range(num_groups):
+            sl = slice(g * g_size, (g + 1) * g_size)
+
+            def live_fwd(sl=sl, g=g):
+                d_g, td_g, _ = _group_dir_fwd_res(
+                    pos_t, dg_t, locations[sl], rotations[sl],
+                    half_dims[sl], tuple(m[g] for m in mats), statics,
+                    g_size,
+                )
+                return d_g, td_g
+
+            def dead_fwd():
+                return (
+                    jnp.full((g_size, t), _SKIP_DISTANCE, pos_t.dtype),
+                    jnp.zeros((g_size, t), pos_t.dtype),
+                )
+
+            d_g, td_g = jax.lax.cond(group_mask[g] != 0, live_fwd, dead_fwd)
+            ds.append(d_g)
+            tds.append(td_g)
+        distances = jnp.concatenate(ds, axis=0)
+        td = jnp.concatenate(tds, axis=0)
+
+        d_bar, td_bar = _stage_a_bwd(distances, td, valid, temperature, du, dw)
+
+        dlocs, drots, dhalfs = [], [], []
+        dmats_groups = [[] for _ in mats]
+        for g in range(num_groups):
+            sl = slice(g * g_size, (g + 1) * g_size)
+
+            def live_bwd(sl=sl, g=g):
+                _, _, res = _group_dir_fwd_res(
+                    pos_t, dg_t, locations[sl], rotations[sl],
+                    half_dims[sl], tuple(m[g] for m in mats), statics,
+                    g_size,
+                )
+                dloc_g, drot9_g, dhalf_g, dmats_g = _group_dir_bwd(
+                    res, tuple(m[g] for m in mats), rotations[sl],
+                    d_bar[sl], td_bar[sl], statics, g_size,
+                )
+                return dloc_g, drot9_g, dhalf_g, tuple(dmats_g)
+
+            def dead_bwd(g=g):
+                return (
+                    jnp.zeros((g_size, 3), pos_t.dtype),
+                    jnp.zeros((g_size, 9), pos_t.dtype),
+                    jnp.zeros((g_size, 3), pos_t.dtype),
+                    tuple(
+                        jnp.zeros((m.shape[1], m.shape[2]), pos_t.dtype)
+                        for m in mats
+                    ),
+                )
+
+            dloc_g, drot9_g, dhalf_g, dmats_g = jax.lax.cond(
+                group_mask[g] != 0, live_bwd, dead_bwd
+            )
+            dlocs.append(dloc_g)
+            drots.append(drot9_g)
+            dhalfs.append(dhalf_g)
+            for li, dm in enumerate(dmats_g):
+                dmats_groups[li].append(dm)
+
+        cat = lambda xs: jnp.concatenate(xs, axis=0)  # noqa: E731
+        return cat(dlocs), cat(drots), cat(dhalfs), dmats_groups
 
     ds, tds, reses = [], [], []
     for g in range(num_groups):

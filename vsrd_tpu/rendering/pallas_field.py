@@ -35,10 +35,51 @@ from jax.experimental.pallas import tpu as pltpu
 from .fused_field import (
     FieldStatics,
     group_size_of,
+    group_skip_threshold,
+    group_tile_mask,
     scene_eval_stacked_dir_bwd_t,
     scene_eval_stacked_dir_t,
     scene_eval_stacked_t,
 )
+
+
+def _skip_active(statics: FieldStatics) -> bool:
+    """Group skipping engages only when there are multiple groups."""
+    return (
+        statics.group_skip
+        and statics.num_instances > group_size_of(statics.num_instances)
+    )
+
+
+def _read_group_mask(statics, tile_axis, mask_ref):
+    """Per-group scalars for this grid step from the SMEM mask array
+    ([G, tiles] single-frame / [F, G, tiles] batched)."""
+    num_groups = statics.num_instances // group_size_of(statics.num_instances)
+    tid = pl.program_id(tile_axis)
+    if tile_axis == 0:
+        return tuple(mask_ref[g, tid] for g in range(num_groups))
+    f = pl.program_id(0)
+    return tuple(mask_ref[f, g, tid] for g in range(num_groups))
+
+
+def _compute_masks(statics, positions, locations, half_dims, valid,
+                   temperature, tile):
+    """[G, ceil(P/tile)] (or [F, G, tiles] batched) keep masks, or None
+    when skipping is off. ``positions`` unpadded, ``valid`` float [N]."""
+    if not _skip_active(statics):
+        return None
+    g_size = group_size_of(statics.num_instances)
+    threshold = group_skip_threshold(
+        statics, jnp.asarray(temperature, jnp.float32)
+    )
+    fn = functools.partial(
+        group_tile_mask, tile=tile, g_size=g_size, threshold=threshold
+    )
+    if positions.ndim == 3:
+        return jax.vmap(lambda p, l, h, v: fn(p, l, h, v))(
+            positions, locations, half_dims, valid
+        )
+    return fn(positions, locations, half_dims, valid)
 
 
 # Set True (e.g. in CPU tests) to run kernels in the Pallas interpreter.
@@ -67,8 +108,12 @@ def _pad_to(x, multiple, axis):
     return jnp.pad(x, pad), size
 
 
-def _fwd_kernel(statics, pos_ref, loc_ref, rot_ref, half_ref, valid_ref,
-                temp_ref, *rest):
+def _fwd_kernel(statics, tile_axis, pos_ref, loc_ref, rot_ref, half_ref,
+                valid_ref, temp_ref, *rest):
+    group_mask = None
+    if _skip_active(statics):
+        mask_ref, *rest = rest
+        group_mask = _read_group_mask(statics, tile_axis, mask_ref)
     n_layers = len(rest) - 3
     layer_refs = rest[:n_layers]
     u_ref, g_ref, w_ref = rest[n_layers:]
@@ -83,14 +128,19 @@ def _fwd_kernel(statics, pos_ref, loc_ref, rot_ref, half_ref, valid_ref,
         layers,
         temp_ref[0],
         statics,
+        group_mask,
     )
     u_ref[:] = union
     g_ref[:] = grads
     w_ref[:] = weights
 
 
-def _dir_fwd_kernel(statics, pos_ref, dir_ref, loc_ref, rot_ref, half_ref,
-                    valid_ref, temp_ref, *rest):
+def _dir_fwd_kernel(statics, tile_axis, pos_ref, dir_ref, loc_ref, rot_ref,
+                    half_ref, valid_ref, temp_ref, *rest):
+    group_mask = None
+    if _skip_active(statics):
+        mask_ref, *rest = rest
+        group_mask = _read_group_mask(statics, tile_axis, mask_ref)
     n_layers = len(rest) - 3
     layer_refs = rest[:n_layers]
     u_ref, ud_ref, w_ref = rest[n_layers:]
@@ -106,6 +156,7 @@ def _dir_fwd_kernel(statics, pos_ref, dir_ref, loc_ref, rot_ref, half_ref,
         layers,
         temp_ref[0],
         statics,
+        group_mask,
     )
     u_ref[:] = union
     ud_ref[:] = u_dot
@@ -166,6 +217,10 @@ def _bwd_kernel_manual(statics, n_layers, tile_axis, pos_ref, loc_ref,
     `_bwd_kernel` except the rotation cotangent is a 2D [N, 9] block and
     each layer cotangent a 2D [G*rows, cols] block (reshaped by the
     caller) so the kernel never builds >2D values."""
+    group_mask = None
+    if _skip_active(statics):
+        mask_ref, *rest = rest
+        group_mask = _read_group_mask(statics, tile_axis, mask_ref)
     layer_refs = rest[:n_layers]
     du_ref, dg_ref, dw_ref = rest[n_layers : n_layers + 3]
     dloc_ref, drot_ref, dhalf_ref = rest[n_layers + 3 : n_layers + 6]
@@ -175,6 +230,7 @@ def _bwd_kernel_manual(statics, n_layers, tile_axis, pos_ref, loc_ref,
     dloc, drot9, dhalf, dmats_groups = scene_eval_stacked_dir_bwd_t(
         pos_ref[:], dg_ref[:], loc_ref[:], rot_ref[:], half_ref[:],
         valid_ref[:], layers, temp_ref[0], statics, du_ref[:], dw_ref[:],
+        group_mask,
     )
 
     step = pl.program_id(tile_axis)
@@ -261,6 +317,9 @@ def _fused_forward(statics, tile, positions, locations, rotations, half_dims,
             valid, layers, temperature,
         )
     n = statics.num_instances
+    masks = _compute_masks(
+        statics, positions, locations, half_dims, valid, temperature, tile
+    )
     pos_t, p_real = _pad_to(positions.T, tile, axis=1)           # [3, P]
     p = pos_t.shape[1]
     grid = (p // tile,)
@@ -279,6 +338,7 @@ def _fused_forward(statics, tile, positions, locations, rotations, half_dims,
         _tile_spec(n, tile),
     )
 
+    mask_ops = () if masks is None else (masks,)
     in_specs = [
         _tile_spec(3, tile),                    # positions (transposed)
         _const_spec(locations.shape),
@@ -286,11 +346,12 @@ def _fused_forward(statics, tile, positions, locations, rotations, half_dims,
         _const_spec(half_dims.shape),
         _const_spec(valid.shape),
         pl.BlockSpec(memory_space=pltpu.SMEM),  # temperature
+        *[pl.BlockSpec(memory_space=pltpu.SMEM) for _ in mask_ops],
         *[_const_spec(m.shape) for m in layers],
     ]
 
     u, g, w = pl.pallas_call(
-        functools.partial(_fwd_kernel, statics),
+        functools.partial(_fwd_kernel, statics, 0),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
@@ -301,7 +362,8 @@ def _fused_forward(statics, tile, positions, locations, rotations, half_dims,
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=INTERPRET,
-    )(pos_t, locations, rotations, half_dims, valid, temperature, *layers)
+    )(pos_t, locations, rotations, half_dims, valid, temperature,
+      *mask_ops, *layers)
 
     return u[0, :p_real], w[:, :p_real].T, g[:, :p_real].T
 
@@ -310,6 +372,9 @@ def _fused_forward_batched(statics, tile, positions, locations, rotations,
                            half_dims, valid, layers, temperature):
     n = statics.num_instances
     f = positions.shape[0]
+    masks = _compute_masks(
+        statics, positions, locations, half_dims, valid, temperature, tile
+    )
     pos_t, p_real = _pad_to(positions.transpose(0, 2, 1), tile, axis=2)
     p = pos_t.shape[2]
     grid = (f, p // tile)
@@ -328,6 +393,7 @@ def _fused_forward_batched(statics, tile, positions, locations, rotations,
         _tile_spec_b(n, tile),
     )
 
+    mask_ops = () if masks is None else (masks,)
     in_specs = [
         _tile_spec_b(3, tile),                  # positions (transposed)
         _const_spec_b(locations.shape[1:]),
@@ -335,11 +401,12 @@ def _fused_forward_batched(statics, tile, positions, locations, rotations,
         _const_spec_b(half_dims.shape[1:]),
         _const_spec_b(valid.shape[1:]),
         pl.BlockSpec(memory_space=pltpu.SMEM),  # temperature
+        *[pl.BlockSpec(memory_space=pltpu.SMEM) for _ in mask_ops],
         *[_const_spec_b(m.shape[1:]) for m in layers],
     ]
 
     u, g, w = pl.pallas_call(
-        functools.partial(_fwd_kernel, statics),
+        functools.partial(_fwd_kernel, statics, 1),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
@@ -348,7 +415,8 @@ def _fused_forward_batched(statics, tile, positions, locations, rotations,
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=INTERPRET,
-    )(pos_t, locations, rotations, half_dims, valid, temperature, *layers)
+    )(pos_t, locations, rotations, half_dims, valid, temperature,
+      *mask_ops, *layers)
 
     return (
         u[:, 0, :p_real],
@@ -380,6 +448,9 @@ def fused_field_dir_forward(statics, tile, positions, directions, locations,
             half_dims, valid, layers, temperature,
         )
     n = statics.num_instances
+    masks = _compute_masks(
+        statics, positions, locations, half_dims, valid, temperature, tile
+    )
     pos_t, p_real = _pad_to(positions.T, tile, axis=1)           # [3, P]
     dir_t, _ = _pad_to(directions.T, tile, axis=1)
     p = pos_t.shape[1]
@@ -399,6 +470,7 @@ def fused_field_dir_forward(statics, tile, positions, directions, locations,
         _tile_spec(n, tile),
     )
 
+    mask_ops = () if masks is None else (masks,)
     in_specs = [
         _tile_spec(3, tile),                    # positions (transposed)
         _tile_spec(3, tile),                    # directions (transposed)
@@ -407,11 +479,12 @@ def fused_field_dir_forward(statics, tile, positions, directions, locations,
         _const_spec(half_dims.shape),
         _const_spec(valid.shape),
         pl.BlockSpec(memory_space=pltpu.SMEM),  # temperature
+        *[pl.BlockSpec(memory_space=pltpu.SMEM) for _ in mask_ops],
         *[_const_spec(m.shape) for m in layers],
     ]
 
     u, ud, w = pl.pallas_call(
-        functools.partial(_dir_fwd_kernel, statics),
+        functools.partial(_dir_fwd_kernel, statics, 0),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
@@ -421,7 +494,7 @@ def fused_field_dir_forward(statics, tile, positions, directions, locations,
         ),
         interpret=INTERPRET,
     )(pos_t, dir_t, locations, rotations, half_dims, valid, temperature,
-      *layers)
+      *mask_ops, *layers)
 
     return u[0, :p_real], w[:, :p_real].T, ud[0, :p_real]
 
@@ -431,6 +504,9 @@ def _fused_dir_forward_batched(statics, tile, positions, directions,
                                layers, temperature):
     n = statics.num_instances
     f = positions.shape[0]
+    masks = _compute_masks(
+        statics, positions, locations, half_dims, valid, temperature, tile
+    )
     pos_t, p_real = _pad_to(positions.transpose(0, 2, 1), tile, axis=2)
     dir_t, _ = _pad_to(directions.transpose(0, 2, 1), tile, axis=2)
     p = pos_t.shape[2]
@@ -450,6 +526,7 @@ def _fused_dir_forward_batched(statics, tile, positions, directions,
         _tile_spec_b(n, tile),
     )
 
+    mask_ops = () if masks is None else (masks,)
     in_specs = [
         _tile_spec_b(3, tile),                  # positions (transposed)
         _tile_spec_b(3, tile),                  # directions (transposed)
@@ -458,11 +535,12 @@ def _fused_dir_forward_batched(statics, tile, positions, directions,
         _const_spec_b(half_dims.shape[1:]),
         _const_spec_b(valid.shape[1:]),
         pl.BlockSpec(memory_space=pltpu.SMEM),  # temperature
+        *[pl.BlockSpec(memory_space=pltpu.SMEM) for _ in mask_ops],
         *[_const_spec_b(m.shape[1:]) for m in layers],
     ]
 
     u, ud, w = pl.pallas_call(
-        functools.partial(_dir_fwd_kernel, statics),
+        functools.partial(_dir_fwd_kernel, statics, 1),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
@@ -472,7 +550,7 @@ def _fused_dir_forward_batched(statics, tile, positions, directions,
         ),
         interpret=INTERPRET,
     )(pos_t, dir_t, locations, rotations, half_dims, valid, temperature,
-      *layers)
+      *mask_ops, *layers)
 
     return (
         u[:, 0, :p_real],
@@ -530,6 +608,15 @@ def _fused_bwd_rule(statics, tile, residuals, cotangents):
 
     n = statics.num_instances
     valid2 = valid.reshape(n, 1)
+    masks = (
+        _compute_masks(
+            statics, positions, locations, half_dims, valid, temperature,
+            tile,
+        )
+        if MANUAL_BACKWARD
+        else None
+    )
+    mask_ops = () if masks is None else (masks,)
     pos_t, p_real = _pad_to(positions.T, tile, axis=1)
     p = pos_t.shape[1]
     du_t, _ = _pad_to(du[None, :], tile, axis=1)                 # [1, P]
@@ -568,6 +655,7 @@ def _fused_bwd_rule(statics, tile, residuals, cotangents):
         _const_spec(half_dims.shape),
         _const_spec(valid2.shape),
         pl.BlockSpec(memory_space=pltpu.SMEM),
+        *[pl.BlockSpec(memory_space=pltpu.SMEM) for _ in mask_ops],
         *[_const_spec(m.shape) for m in layers],
         _tile_spec(1, tile),                     # du
         _tile_spec(3, tile),                     # dg
@@ -587,7 +675,7 @@ def _fused_bwd_rule(statics, tile, residuals, cotangents):
         ),
         interpret=INTERPRET,
     )(pos_t, locations, rotations, half_dims, valid2, temperature_arr,
-      *layers, du_t, dg_t, dw_t)
+      *mask_ops, *layers, du_t, dg_t, dw_t)
 
     dloc, drot, dhalf, *dlayers = outs
     if manual:
@@ -610,6 +698,15 @@ def _fused_bwd_batched(statics, tile, positions, locations, rotations,
     n = statics.num_instances
     f = positions.shape[0]
     valid2 = valid.reshape(f, n, 1)
+    masks = (
+        _compute_masks(
+            statics, positions, locations, half_dims, valid, temperature,
+            tile,
+        )
+        if MANUAL_BACKWARD
+        else None
+    )
+    mask_ops = () if masks is None else (masks,)
     pos_t, p_real = _pad_to(positions.transpose(0, 2, 1), tile, axis=2)
     p = pos_t.shape[2]
     du_t, _ = _pad_to(du[:, None, :], tile, axis=2)              # [F, 1, P]
@@ -650,6 +747,7 @@ def _fused_bwd_batched(statics, tile, positions, locations, rotations,
         _const_spec_b(half_dims.shape[1:]),
         _const_spec_b(valid2.shape[1:]),
         pl.BlockSpec(memory_space=pltpu.SMEM),
+        *[pl.BlockSpec(memory_space=pltpu.SMEM) for _ in mask_ops],
         *[_const_spec_b(m.shape[1:]) for m in layers],
         _tile_spec_b(1, tile),                   # du
         _tile_spec_b(3, tile),                   # dg
@@ -667,7 +765,7 @@ def _fused_bwd_batched(statics, tile, positions, locations, rotations,
         ),
         interpret=INTERPRET,
     )(pos_t, locations, rotations, half_dims, valid2, temperature_arr,
-      *layers, du_t, dg_t, dw_t)
+      *mask_ops, *layers, du_t, dg_t, dw_t)
 
     dloc, drot, dhalf, *dlayers = outs
     if manual:
