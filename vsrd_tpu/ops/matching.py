@@ -39,53 +39,83 @@ def linear_sum_assignment(cost: jax.Array) -> jax.Array:
     c = jnp.full((n + 1, n + 1), _INF, jnp.float32)
     c = c.at[1:, 1:].set(cost)
 
+    # Expansions fused per while iteration: on TPU each while iteration
+    # is a separately dispatched micro-kernel (~2-3 us of launch latency
+    # around ~30 ns of [n+1]-vector math), so the loop cost is launch
+    # count, not arithmetic. Running K done-masked expansions per
+    # iteration cuts launches ~K-fold while keeping the data-dependent
+    # early exit at K granularity. (A fully unrolled fixed-trip scan was
+    # measured WORSE — 9.5 ms vs 1.4 — XLA does not fuse the straight-
+    # line dynamic-slice chains and the early exit is lost.)
+    _FUSE = 4
+
     def solve_row(carry, i):
         u, v, p = carry  # potentials [n+1], [n+1]; p[j] = row matched to col j
         p = p.at[0].set(i)
+        # Within one Dijkstra run p is constant, so track the composed
+        # row potentials up[j] = u[p[j]] as a plain vector: the per-
+        # expansion `u.at[p].add(add)` scatter becomes an elementwise
+        # add, with ONE scatter back after the loop.
+        up0 = u[p]
 
-        def dijkstra_body(state):
-            j0, u, v, p, minv, way, used, _ = state
-            used = used.at[j0].set(True)
+        def expand(state):
+            j0, up, v, minv, way, used, done = state
+            used2 = used.at[j0].set(True)
             i0 = p[j0]
-            cur = c[i0] - u[i0] - v  # [n+1]
-            better = (cur < minv) & ~used
-            minv = jnp.where(better, cur, minv)
-            way = jnp.where(better, j0, way)
-            masked = jnp.where(used, _INF, minv)
+            cur = c[i0] - up[j0] - v  # [n+1]
+            better = (cur < minv) & ~used2
+            minv2 = jnp.where(better, cur, minv)
+            way2 = jnp.where(better, j0, way)
+            masked = jnp.where(used2, _INF, minv2)
             j1 = jnp.argmin(masked).astype(jnp.int32)
             delta = masked[j1]
-            add = jnp.where(used, delta, 0.0)
-            u = u.at[p].add(add)
-            v = v - add
-            minv = jnp.where(used, minv, minv - delta)
-            done = p[j1] == 0
-            return j1, u, v, p, minv, way, used, done
+            add = jnp.where(used2, delta, 0.0)
+            up2 = up + add
+            v2 = v - add
+            minv2 = jnp.where(used2, minv2, minv2 - delta)
+            done2 = done | (p[j1] == 0)
+            # freeze the state once the frontier reached a free column
+            keep = lambda new, old: jax.tree.map(  # noqa: E731
+                lambda a, b: jnp.where(done, b, a), new, old
+            )
+            return (
+                keep(j1, j0), keep(up2, up), keep(v2, v),
+                keep(minv2, minv), keep(way2, way), keep(used2, used),
+                done2,
+            )
 
-        def dijkstra_cond(state):
-            return ~state[-1]
+        def dijkstra_body(state):
+            for _ in range(_FUSE):
+                state = expand(state)
+            return state
 
         minv = jnp.full((n + 1,), _INF, jnp.float32)
         way = jnp.zeros((n + 1,), jnp.int32)
         used = jnp.zeros((n + 1,), bool)
-        used = used.at[0].set(False)
         state = (
-            jnp.asarray(0, jnp.int32), u, v, p, minv, way, used,
+            jnp.asarray(0, jnp.int32), up0, v, minv, way, used,
             jnp.asarray(False),
         )
-        j0, u, v, p, minv, way, used, _ = jax.lax.while_loop(
-            dijkstra_cond, dijkstra_body, state
+        j0, up, v, minv, way, used, _ = jax.lax.while_loop(
+            lambda s: ~s[-1], dijkstra_body, state
         )
+        u = u.at[p].set(up)
+
+        def augment_step(state):
+            j0, p = state
+            stop = j0 == 0
+            j1 = way[j0]
+            p2 = p.at[j0].set(p[j1])
+            return jnp.where(stop, j0, j1), jnp.where(stop, p, p2)
 
         def augment_body(state):
-            j0, p = state
-            j1 = way[j0]
-            p = p.at[j0].set(p[j1])
-            return j1, p
+            for _ in range(_FUSE):
+                state = augment_step(state)
+            return state
 
-        def augment_cond(state):
-            return state[0] != 0
-
-        _, p = jax.lax.while_loop(augment_cond, augment_body, (j0, p))
+        _, p = jax.lax.while_loop(
+            lambda s: s[0] != 0, augment_body, (j0, p)
+        )
         return (u, v, p), None
 
     u0 = jnp.zeros((n + 1,), jnp.float32)
