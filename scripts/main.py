@@ -83,14 +83,28 @@ def build_config(args) -> opt.OptimizationConfig:
             "bounding_radius", 100.0
         ),
         checkpoint_interval=config.get("logging", {}).get("ckpt_intervals", 500),
-        # kernel knobs (NOTES.md): strict-parity runs set precision
-        # 'highest', which also disables the coarse-pass approximations
-        pallas_matmul_precision=optimization.get(
-            "pallas_matmul_precision", "default"
-        ),
-        pallas_dir_coarse=optimization.get("pallas_dir_coarse", True),
-        pallas_box_coarse=optimization.get("pallas_box_coarse", False),
+        # Kernel knobs (NOTES.md): strict-parity runs set precision
+        # 'highest', which also disables the coarse-pass approximations.
+        # Defaults come from the OptimizationConfig dataclass so bench.py
+        # (which constructs the dataclass directly) and this driver
+        # provably run the same kernel path; a config may still override
+        # any knob under its "optimization" section.
+        **_kernel_knobs(optimization),
     ), config
+
+
+def _kernel_knobs(optimization):
+    """Every `pallas_*` / `use_pallas` / `field_dtype` knob, read from the
+    config's `optimization` section with the OptimizationConfig dataclass
+    field default as fallback (tests/test_config.py pins the equality)."""
+    defaults = opt.OptimizationConfig()
+    names = [
+        field.name
+        for field in dataclasses.fields(opt.OptimizationConfig)
+        if field.name.startswith("pallas_")
+        or field.name in ("use_pallas", "field_dtype")
+    ]
+    return {name: optimization.get(name, getattr(defaults, name)) for name in names}
 
 
 def make_dataset(config):

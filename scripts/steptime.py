@@ -45,11 +45,12 @@ def main():
                         choices=("compact", "kitti"),
                         help="instance placement: compact (z 8-16) or "
                         "kitti (z 5-80, realistic spread)")
-    parser.add_argument("--group-skip", action="store_true",
-                        help="enable pallas_group_skip (default off; see "
-                        "OptimizationConfig.pallas_group_skip)")
-    parser.add_argument("--no-group-skip", action="store_true",
-                        help="force-disable pallas_group_skip")
+    skip_group = parser.add_mutually_exclusive_group()
+    skip_group.add_argument("--group-skip", action="store_true",
+                            help="enable pallas_group_skip (default off; see "
+                            "OptimizationConfig.pallas_group_skip)")
+    skip_group.add_argument("--no-group-skip", action="store_true",
+                            help="force-disable pallas_group_skip")
     parser.add_argument("--frames", type=int, default=1,
                         help=">1: co-optimize F stacked frames")
     args = parser.parse_args()

@@ -309,7 +309,7 @@ def test_sharded_grads_match_single_chip(sp_equiv):
         )
         return jnp.sum(total)
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     grads_sharded = jax.jit(
         shard_map(
@@ -319,7 +319,7 @@ def test_sharded_grads_match_single_chip(sp_equiv):
             mesh=mesh,
             in_specs=(P("dp"), P("dp"), P("dp")),
             out_specs=P("dp"),
-            check_rep=False,
+            check_vma=False,
         )
     )(jax.tree.map(lambda *xs: jnp.stack(xs), *[s[0] for s in states]),
       fb, jnp.asarray(schedule))

@@ -48,7 +48,7 @@ def make_dp_train_step(model, tx, mesh: Mesh, num_classes: int = 1):
     ``batch`` leaves carry a leading global batch axis sharded over 'dp';
     params/opt_state are replicated; gradients are `pmean`-ed.
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     def step(params, opt_state, batch):
         def loss_fn(p):
@@ -78,6 +78,6 @@ def make_dp_train_step(model, tx, mesh: Mesh, num_classes: int = 1):
         mesh=mesh,
         in_specs=(P(), P(), P("dp")),
         out_specs=(P(), P(), P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(sharded)

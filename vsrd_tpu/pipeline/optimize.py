@@ -370,6 +370,10 @@ def compute_loss(
         field_weights = apply_fn(params["hyper"], decoded["embeddings"])
 
     use_pallas = cfg.use_pallas and pallas_field.pallas_supported()
+    # Single source of truth for whether group skipping engages (kernel
+    # statics AND the ray azimuth-sort below must agree; a drifted
+    # re-derivation would silently desync tile skipping from ray order).
+    group_skip = use_pallas and cfg.pallas_group_skip and (n + 7) // 8 * 8 > 8
     field = None
     field_with_grad = None
     if use_pallas:
@@ -377,7 +381,6 @@ def compute_loss(
         # multiple; pad the scene to N8 = ceil(N/8)*8 (padded slots are
         # invalid and their outputs are sliced away).
         n8 = (n + 7) // 8 * 8
-        group_skip = cfg.pallas_group_skip and n8 > 8
         statics = fused_field.FieldStatics(
             num_instances=n8,
             num_frequencies=cfg.num_frequencies,
@@ -621,7 +624,7 @@ def compute_loss(
     rays_fn = jax.vmap(ray_directions_at) if batched else ray_directions_at
     origins, directions = rays_fn(frame, ray_idx)
 
-    if use_pallas and cfg.pallas_group_skip and (n + 7) // 8 * 8 > 8:
+    if group_skip:
         # azimuth-sort the sampled rays so kernel point tiles are
         # direction-coherent — group skipping (see pallas_group_skip)
         # fires per tile, and randomly ordered rays would see every

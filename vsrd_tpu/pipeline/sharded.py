@@ -70,7 +70,7 @@ def make_sharded_train_step(mesh: Mesh, cfg: opt_mod.OptimizationConfig,
             ray_indices=ray_indices, sp_axis="sp",
         )
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     frame_specs = P("dp")
     scalar_specs = (P(), P())
@@ -81,7 +81,7 @@ def make_sharded_train_step(mesh: Mesh, cfg: opt_mod.OptimizationConfig,
         in_specs=(frame_specs, frame_specs, frame_specs, *scalar_specs,
                   *ray_specs),
         out_specs=(frame_specs, frame_specs, frame_specs),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(sharded)
 

@@ -116,9 +116,16 @@ def group_skip_threshold(statics: FieldStatics, temperature):
 
 
 # The RDF residual added to each box SDF is sigmoid(raw - 1) in (0, 1)
-# (see `_group_distances`), so the union distance u(p) = softmin_i d_i(p)
-# is upper-bounded by min_i ||p - c_i|| + 1 (the box center is inside the
-# box, so the box SDF is at most the distance to the center).
+# (see `_group_distances`), so each d_i is upper-bounded by
+# ||p - c_i|| + 1 (the box center is inside the box, so the box SDF is
+# at most the distance to the center). What this bounds is the softmin
+# LOG-PARTITION lse(p) = -tau * logsumexp(-d/tau), which satisfies
+# lse <= min_i d_i <= min_i ||p - c_i|| + 1 and is the quantity that
+# normalizes the softmax weights exp(-(d_g - lse)/tau) the skip
+# criterion controls. The softmax-weighted AVERAGE union that
+# `scene_eval` actually returns is >= min_i d_i and is NOT bounded by
+# min + 1 (it can exceed it by up to ~(N-1)*tau/e) — but the skip
+# safety argument never needs a bound on it, only on lse.
 _RESIDUAL_BOUND = 1.0
 
 
@@ -129,10 +136,13 @@ def group_tile_mask(positions, locations, half_dims, valid, threshold,
     A group is kept iff for some point p of the tile its optimistic
     distance (distance to the circumscribed sphere of some valid member
     instance — a lower bound on box SDF + non-negative residual) comes
-    within ``threshold`` meters of an UPPER bound on the union distance
-    u(p) (min over valid instances of center distance + residual bound).
-    The criterion is relative, not absolute: a skipped group's softmin
-    weight is exp(-(d_g - u)/tau), so what must be large is the gap to
+    within ``threshold`` meters of an UPPER bound on the softmin
+    log-partition lse(p) = -tau*logsumexp(-d/tau) (min over valid
+    instances of center distance + residual bound; lse <= min_i d_i <=
+    that bound — see _RESIDUAL_BOUND). The log-partition is what
+    normalizes the softmax weights exp(-(d_g - lse)/tau), so bounding it
+    bounds every dropped weight. The criterion is relative, not
+    absolute: what must be large is the gap to
     the nearest group, not the distance itself — the eikonal term
     evaluates grad u at ray samples far from every instance, where two
     distant groups can still share the softmin weight. The per-tile
