@@ -308,9 +308,13 @@ def train(args):
 
     parallel.initialize()
     dataset = make_dataset(config)
-    indices = parallel.shard_indices(len(dataset))
+    shard = getattr(args, "shard", None)
+    num_shards = getattr(args, "num_shards", None)
+    indices = parallel.shard_indices(len(dataset), shard, num_shards)
     logger.info(
-        f"process {parallel.process_index()}/{parallel.process_count()}: "
+        f"process "
+        f"{parallel.process_index() if shard is None else shard}/"
+        f"{parallel.process_count() if num_shards is None else num_shards}: "
         f"{len(indices)} of {len(dataset)} target frames"
     )
 
@@ -371,7 +375,9 @@ def train(args):
 
         seed = config.get("random", {}).get("global_seed", 0)
         if config.get("random", {}).get("use_unique_seed", True):
-            seed = seed + parallel.process_index()
+            seed = seed + (
+                parallel.process_index() if shard is None else shard
+            )
         key = jax.random.fold_in(jax.random.PRNGKey(seed), int(index))
 
         job = _FrameJob(frame, image_filename, ckpt_dirname, log_dirname, key)
@@ -402,6 +408,16 @@ def main():
                         choices=["jax", "slurm", "torchrun"],
                         help="rendezvous handled by jax.distributed; flag "
                              "kept for CLI compatibility")
+    parser.add_argument("--shard", type=int, default=None,
+                        help="explicit frame-shard index (defaults to "
+                             "jax.process_index()); lets N independent "
+                             "processes split the frame list without a "
+                             "jax.distributed rendezvous — the labeling "
+                             "path has no collectives (reference "
+                             "README.md:128)")
+    parser.add_argument("--num_shards", type=int, default=None,
+                        help="explicit shard count (defaults to "
+                             "jax.process_count())")
     args = parser.parse_args()
     if args.train:
         train(args)

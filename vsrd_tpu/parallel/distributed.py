@@ -70,31 +70,64 @@ def shard_list(items: Sequence[Any], shard: int | None = None,
 
 
 def broadcast_object(obj: Any, is_source: bool | None = None) -> Any:
-    """Broadcast a host pytree of arrays from process 0
-    (reference communication.py:22-38 equivalent)."""
+    """Broadcast a host object (any picklable pytree) from the source
+    process (reference communication.py:22-38, which rides torch's
+    pickle-based broadcast_object_list).
+
+    Pickle + uint8 transport rather than `broadcast_one_to_all` on the
+    leaves: the leaf route silently downcasts float64/int64 under
+    JAX's default x64-disabled mode and requires every process to know
+    the pytree structure up front; bytes survive verbatim.
+    """
+    import pickle
+
     from jax.experimental import multihost_utils
 
     if jax.process_count() == 1:
         return obj
-    return multihost_utils.broadcast_one_to_all(obj, is_source=is_source)
+    if is_source is None:
+        is_source = jax.process_index() == 0
+    payload = pickle.dumps(obj) if is_source else b""
+    length = multihost_utils.broadcast_one_to_all(
+        np.asarray([len(payload)], np.int32), is_source=is_source
+    )
+    buffer = np.zeros(int(length[0]), np.uint8)
+    if is_source:
+        buffer[:] = np.frombuffer(payload, np.uint8)
+    buffer = multihost_utils.broadcast_one_to_all(
+        buffer, is_source=is_source
+    )
+    return pickle.loads(np.asarray(buffer).tobytes())
 
 
 def all_gather_ragged(array: np.ndarray, max_leading: int | None = None):
     """Gather per-process arrays with ragged leading dims
     (reference communication.py:41-76): pad to max, gather, return the
-    list of unpadded arrays."""
+    list of unpadded arrays. Trailing dims and dtype must match across
+    processes; the payload crosses as raw bytes so any dtype (incl.
+    float64 under x64-disabled JAX) round-trips exactly."""
     from jax.experimental import multihost_utils
 
+    array = np.ascontiguousarray(array)
     if jax.process_count() == 1:
         return [array]
 
     length = np.asarray([array.shape[0]])
     lengths = multihost_utils.process_allgather(length).reshape(-1)
     pad_to = int(max_leading or lengths.max())
-    padded = np.zeros((pad_to, *array.shape[1:]), array.dtype)
+    trailing = array.shape[1:]
+    if pad_to == 0:
+        return [np.zeros((0, *trailing), array.dtype) for _ in lengths]
+    padded = np.zeros((pad_to, *trailing), array.dtype)
     padded[: array.shape[0]] = array
-    gathered = multihost_utils.process_allgather(padded)
-    return [g[:n] for g, n in zip(gathered, lengths)]
+    flat = np.frombuffer(padded.tobytes(), np.uint8)
+    gathered = multihost_utils.process_allgather(flat)  # [P, nbytes]
+    return [
+        np.frombuffer(np.asarray(g).tobytes(), array.dtype)
+        .reshape(pad_to, *trailing)[:n]
+        .copy()
+        for g, n in zip(gathered, lengths)
+    ]
 
 
 def barrier(name: str = "barrier") -> None:
