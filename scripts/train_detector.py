@@ -94,6 +94,7 @@ def load_example(paths, image_size, max_boxes, class_names,
     labels = np.zeros((max_boxes,), np.int32)
     boxes_2d = np.zeros((max_boxes, 4), np.float32)
     boxes_3d = np.zeros((max_boxes, 8, 3), np.float32)
+    heights_px = np.zeros((max_boxes,), np.float32)
     valid = np.zeros((max_boxes,), bool)
     index = 0
     for class_index, class_name in enumerate(class_names):
@@ -126,6 +127,9 @@ def load_example(paths, image_size, max_boxes, class_names,
                 [src_w, src_h, src_w, src_h], np.float32
             )
             boxes_3d[index] = np.asarray(box3, np.float32)
+            # pixel height at the ORIGINAL resolution — the quantity the
+            # KITTI devkit difficulty bins threshold on (40 px / 25 px)
+            heights_px[index] = box2[3] - box2[1]
             labels[index] = class_index
             valid[index] = True
             index += 1
@@ -135,6 +139,8 @@ def load_example(paths, image_size, max_boxes, class_names,
         "labels": labels,
         "boxes_2d": boxes_2d,
         "boxes_3d": boxes_3d,
+        "gt_heights_px": heights_px,
+        "orig_sizes": np.asarray([src_h, src_w], np.float32),
         "valid": valid,
     }
 

@@ -62,6 +62,74 @@ def test_evaluator_perfect_and_missed():
     assert out2["recall_loosest"] == pytest.approx(0.5)
 
 
+def test_average_precision_r40_hand_cases():
+    # perfect ranking -> 1.0 (all 40 recall points see precision 1)
+    assert detector_eval.average_precision_r40(
+        [0.9, 0.8], [1, 1], 2
+    ) == pytest.approx(1.0)
+    # FP first, then the TP: envelope precision at every reachable
+    # recall point is 0.5 -> AP|R40 = 0.5
+    assert detector_eval.average_precision_r40(
+        [0.9, 0.8], [0, 1], 1
+    ) == pytest.approx(0.5)
+    # recall saturates at 0.5 (1 of 2 gt found, perfect precision):
+    # the 20 recall points <= 0.5 see precision 1, the rest 0
+    assert detector_eval.average_precision_r40(
+        [0.9], [1], 2
+    ) == pytest.approx(0.5)
+    assert detector_eval.average_precision_r40([], [], 3) == 0.0
+    assert np.isnan(detector_eval.average_precision_r40([0.5], [0], 0))
+
+
+def test_kitti_difficulty_regimes():
+    """Devkit ignore semantics: GT below a regime's height/occlusion/
+    truncation cut is ignored (not FN; matches to it absorbed), and
+    detections shorter than min_height are ignored rather than FP."""
+    tall = _box([0, 0, 10])        # easy-eligible (50 px)
+    short = _box([4, 0, 30])       # 30 px: moderate/hard only
+    gt = np.stack([tall, short])
+    ev = detector_eval.DetectionEvaluator(iou_thresholds=(0.5,))
+    # perfect detections for both + one tiny far FP (20 px < 25)
+    dets = np.concatenate([gt, _box([40, 0, 60])[None]])
+    ev.add_image(
+        dets, [0.9, 0.8, 0.7], [0, 0, 0], gt, [0, 0],
+        gt_heights_px=[50.0, 30.0],
+        det_heights_px=[50.0, 30.0, 20.0],
+    )
+    out = ev.summarize()
+    # easy: only the tall GT counts; the short-GT match is absorbed
+    # (not an FP) and the tiny det is ignored -> perfect AP
+    assert out["ap_r40_0.5_easy"] == pytest.approx(1.0)
+    # moderate/hard: both GT count, tiny det ignored -> perfect AP
+    assert out["ap_r40_0.5_moderate"] == pytest.approx(1.0)
+    assert out["ap_r40_0.5_hard"] == pytest.approx(1.0)
+    # "all" has no ignores: the far tiny det is a trailing FP
+    recs = ev._records[(0, 0.5, "all")]
+    assert sorted(tp for _, tp in recs) == [0.0, 1.0, 1.0]
+    assert out["ap_r40_0.5"] == pytest.approx(1.0)  # FP after full recall
+
+    # occlusion/truncation cuts: occluded GT leaves easy, stays moderate
+    ev2 = detector_eval.DetectionEvaluator(iou_thresholds=(0.5,))
+    ev2.add_image(
+        gt[:1], [0.9], [0], gt[:1], [0],
+        gt_heights_px=[50.0], gt_truncations=[0.2], gt_occlusions=[1],
+        det_heights_px=[50.0],
+    )
+    out2 = ev2.summarize()
+    assert np.isnan(out2["ap_r40_0.5_easy"])       # zero easy GT
+    assert out2["ap_r40_0.5_moderate"] == pytest.approx(1.0)
+    assert out2["ap_r40_0.5_hard"] == pytest.approx(1.0)
+
+
+def test_difficulty_keys_absent_without_metadata():
+    gt = _box([0, 0, 10])[None]
+    ev = detector_eval.DetectionEvaluator(iou_thresholds=(0.25,))
+    ev.add_image(gt, [0.9], [0], gt, [0])
+    out = ev.summarize()
+    assert "ap_r40_0.25" in out
+    assert not any(k.endswith("easy") for k in out)
+
+
 def test_evaluator_double_match_forbidden():
     """Two detections on the same gt: second is an FP (greedy protocol)."""
     gt = _box([0, 0, 10])[None]
@@ -71,7 +139,7 @@ def test_evaluator_double_match_forbidden():
         np.stack([gt[0], near]), [0.9, 0.85], [0, 0], gt, [0]
     )
     out = ev.summarize()
-    recs = ev._records[(0, 0.25)]
+    recs = ev._records[(0, 0.25, "all")]
     assert [tp for _, tp in sorted(recs, reverse=True)] == [1.0, 0.0]
     assert out["ap_0.25"] == pytest.approx(1.0)  # FP after full recall
 
