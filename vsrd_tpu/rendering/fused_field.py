@@ -661,11 +661,16 @@ def _group_distances(pos_t, dirs, locations, rotations, half_dims, mats_g,
         for c in range(3)
     )
     ones_nt = jnp.ones((n, t), pos_t.dtype)
-    if dirs is None:
-        t_local = tuple(
-            tuple(col(j, c) * ones_nt for c in range(3)) for j in range(3)
-        )  # t_local[k][c] : [n, T]
-    else:
+    # K=3 spatial-gradient mode propagates the tangents in the LOCAL
+    # box frame (seeds e_c on l = R^T(x - loc)) and rotates the three
+    # results back to world axes at the very end (dl_c/dx_i = R[i, c],
+    # per-instance constants). In this basis the seed slabs collapse:
+    # t_local[j][c] = delta_jc, so t_q[j][c] = sign(l_c) delta_jc and
+    # the encoding tangents are nonzero only on dimension-j rows —
+    # which deletes ~150 [n, T] vector ops per group vs pushing three
+    # dense world-axis tangents through the same chain.
+    local_basis = dirs is None
+    if not local_basis:
         v = tuple(jnp.tile(dirs[j : j + 1], (n, 1)) for j in range(3))
         t_local = (
             tuple(
@@ -678,32 +683,50 @@ def _group_distances(pos_t, dirs, locations, rotations, half_dims, mats_g,
     q = tuple(
         jnp.abs(local[c]) - half_dims[:, c : c + 1] for c in range(3)
     )
-    t_q = tuple(
-        tuple(sign_l[c] * t_local[j][c] for c in range(3))
-        for j in range(k_tangents)
-    )
-
     relu_q = tuple(jax.nn.relu(qc) for qc in q)
     outside = jnp.sqrt(
         relu_q[0] ** 2 + relu_q[1] ** 2 + relu_q[2] ** 2 + 1e-6
     )
-    t_outside = tuple(
-        (relu_q[0] * t_q[j][0] + relu_q[1] * t_q[j][1] + relu_q[2] * t_q[j][2])
-        / outside
-        for j in range(k_tangents)
-    )
-
     m1 = jnp.maximum(q[0], q[1])
     q_max = jnp.maximum(m1, q[2])
     pick01 = q[0] > q[1]
     pick2 = q_max > m1
-    t_max = tuple(
-        jnp.where(pick2, t_q[j][2], jnp.where(pick01, t_q[j][0], t_q[j][1]))
-        for j in range(k_tangents)
-    )
     inside_gate = (q_max < 0.0).astype(pos_t.dtype)
-
     distances = outside - jax.nn.relu(-q_max)                   # [n, T]
+
+    if local_basis:
+        assert k_tangents == 3
+        inv_outside = 1.0 / outside
+        t_outside = tuple(
+            relu_q[j] * sign_l[j] * inv_outside for j in range(3)
+        )
+        zero = jnp.zeros((), pos_t.dtype)
+        t_max = (
+            jnp.where(pick2, zero, jnp.where(pick01, sign_l[0], zero)),
+            jnp.where(pick2, zero, jnp.where(pick01, zero, sign_l[1])),
+            jnp.where(pick2, sign_l[2], zero),
+        )
+    else:
+        t_q = tuple(
+            tuple(sign_l[c] * t_local[j][c] for c in range(3))
+            for j in range(k_tangents)
+        )
+        t_outside = tuple(
+            (
+                relu_q[0] * t_q[j][0]
+                + relu_q[1] * t_q[j][1]
+                + relu_q[2] * t_q[j][2]
+            )
+            / outside
+            for j in range(k_tangents)
+        )
+        t_max = tuple(
+            jnp.where(
+                pick2, t_q[j][2], jnp.where(pick01, t_q[j][0], t_q[j][1])
+            )
+            for j in range(k_tangents)
+        )
+
     t_dist = [t_outside[j] + inside_gate * t_max[j] for j in range(k_tangents)]
 
     if statics.use_rdf:
@@ -711,14 +734,15 @@ def _group_distances(pos_t, dirs, locations, rotations, half_dims, mats_g,
         sym = (jnp.abs(local[0]) * inv_scale,
                local[1] * inv_scale,
                local[2] * inv_scale)
-        t_sym = tuple(
-            (
-                sign_l[0] * t_local[j][0] * inv_scale,
-                t_local[j][1] * inv_scale,
-                t_local[j][2] * inv_scale,
+        if not local_basis:
+            t_sym = tuple(
+                (
+                    sign_l[0] * t_local[j][0] * inv_scale,
+                    t_local[j][1] * inv_scale,
+                    t_local[j][2] * inv_scale,
+                )
+                for j in range(k_tangents)
             )
-            for j in range(k_tangents)
-        )
 
         # channel-major slabs: rows c*n+i; order (k, cos/sin, dim)
         trig = _encoding_trig(
@@ -727,6 +751,7 @@ def _group_distances(pos_t, dirs, locations, rotations, half_dims, mats_g,
         )
         chunks = []
         t_chunks = [[] for _ in range(k_tangents)]
+        zeros_nt = jnp.zeros((n, t), pos_t.dtype)
         idx = 0
         for k in range(statics.num_frequencies):
             f = math.pi * (2.0**k)
@@ -735,10 +760,35 @@ def _group_distances(pos_t, dirs, locations, rotations, half_dims, mats_g,
                 idx += 1
                 chunks.append(c_)
                 chunks.append(s_)
-                for j in range(k_tangents):
-                    ft = f * t_sym[j][d]
-                    t_chunks[j].append(-s_ * ft)
-                    t_chunks[j].append(c_ * ft)
+                if local_basis:
+                    # seed e_d in the local frame: dsym_d/dl_j =
+                    # delta_jd inv_scale (times sign(l_0) for d=0) —
+                    # tangents j != d get exact-zero rows, tangent d
+                    # gets the bare trig derivative
+                    fi = f * inv_scale
+                    fc, fns = fi * c_, -fi * s_
+                    if d == 0:
+                        fc, fns = fc * sign_l[0], fns * sign_l[0]
+                    t_chunks[d].append(fns)
+                    t_chunks[d].append(fc)
+                    for j in range(3):
+                        if j != d:
+                            t_chunks[j].append(zeros_nt)
+                            t_chunks[j].append(zeros_nt)
+                elif k_tangents >= 2:
+                    # fold the frequency scalar into the trig values once
+                    # per (k, d) (shared across tangents): 2 + 2K vector
+                    # ops instead of 3K. For K=1 the fold costs more
+                    # (4 > 3), so keep the direct product there.
+                    fc, fns = f * c_, -f * s_
+                    for j in range(k_tangents):
+                        t_chunks[j].append(fns * t_sym[j][d])
+                        t_chunks[j].append(fc * t_sym[j][d])
+                else:
+                    for j in range(k_tangents):
+                        ft = f * t_sym[j][d]
+                        t_chunks[j].append(-s_ * ft)
+                        t_chunks[j].append(c_ * ft)
         x = jnp.concatenate(chunks, axis=0)                     # [48n, T]
         t_x = tuple(jnp.concatenate(tc, axis=0) for tc in t_chunks)
 
@@ -758,17 +808,21 @@ def _group_distances(pos_t, dirs, locations, rotations, half_dims, mats_g,
                 inv_std = jax.lax.rsqrt(var + 1e-5)
                 inv_std_t = jnp.tile(inv_std, (c_in, 1))
                 y = centered * inv_std_t
+                # y * inv_std^2 is tangent-independent (hoisted out of
+                # the tangent loop); the t_mean term of the projection
+                # sum is exactly zero (sum_c centered = 0 by
+                # construction), so proj needs no per-slab centering.
+                y_inv2 = y * inv_std_t * inv_std_t
                 new_t = []
                 for tx in t_x:
                     tx_slabs = [tx[c * n : (c + 1) * n] for c in range(c_in)]
                     t_mean = sum(tx_slabs) / c_in
                     tc = tx - jnp.tile(t_mean, (c_in, 1))
                     proj = sum(
-                        cs * (ts - t_mean)
-                        for cs, ts in zip(c_slabs, tx_slabs)
+                        cs * ts for cs, ts in zip(c_slabs, tx_slabs)
                     ) / c_in
                     new_t.append(
-                        inv_std_t * (tc - y * inv_std_t * jnp.tile(proj, (c_in, 1)))
+                        inv_std_t * tc - y_inv2 * jnp.tile(proj, (c_in, 1))
                     )
                 cdf, pdf = _gelu_cdf_pdf(y)
                 x = y * cdf
@@ -803,6 +857,16 @@ def _group_distances(pos_t, dirs, locations, rotations, half_dims, mats_g,
         distances = distances + sig
         dsig = sig * (1.0 - sig)
         t_dist = [td + dsig * tx for td, tx in zip(t_dist, t_x)]
+
+    if local_basis:
+        # rotate the local-frame tangents back to world axes:
+        # du/dx_i = sum_c (du/dl_c) R[i, c] (per-instance constants)
+        t_dist = [
+            t_dist[0] * col(i, 0)
+            + t_dist[1] * col(i, 1)
+            + t_dist[2] * col(i, 2)
+            for i in range(3)
+        ]
 
     return distances, t_dist
 
@@ -1049,8 +1113,9 @@ def _group_dir_fwd_res(pos_t, dirs, locations, rotations, half_dims, mats_g,
                 tx_slabs = [tx[c * n : (c + 1) * n] for c in range(c_in)]
                 t_mean = sum(tx_slabs) / c_in
                 tc = tx - jnp.tile(t_mean, (c_in, 1))
+                # the t_mean term of proj is exactly zero: sum_c cs = 0
                 proj = sum(
-                    cs * (ts - t_mean) for cs, ts in zip(c_slabs, tx_slabs)
+                    cs * ts for cs, ts in zip(c_slabs, tx_slabs)
                 ) / c_in
                 ty = istd_t * (tc - y * istd_t * jnp.tile(proj, (c_in, 1)))
                 cdf, pdf = _gelu_cdf_pdf(y)
