@@ -77,22 +77,32 @@ def verify_kernels():
         num_instances=n, field_dtype=None, matmul_precision="highest"
     )
 
-    def loss_kernel(loc, half, mats):
+    # Parameter cotangents are compared as the pullback d_w through
+    # `build_interleaved_layers`, not as raw d_mats: the interleaved
+    # group matrices have structurally-zero off-block entries, and
+    # cotangents on those dead entries are GAUGE — different (equally
+    # correct) tangent bases put different values there (world-basis
+    # manual backward vs local-basis reference AD), while the pullback
+    # to the packed weights — the only thing training ever consumes —
+    # is basis-independent (checked equal to 2.6e-7 relL2 in f64).
+    def loss_kernel(loc, half, w):
+        mats_w = ff.build_interleaved_layers(w)
         u, wts, g = pf.fused_field_with_grad(
-            statics, (1024, 512), pos, loc, rot, half, valid, mats, 0.5
+            statics, (1024, 512), pos, loc, rot, half, valid, mats_w, 0.5
         )
         return jnp.sum(u) + jnp.sum(wts[:, :2]) + jnp.sum(jnp.square(g)), (u, wts, g)
 
-    def loss_ref(loc, half, mats):
-        u, wts, g = ff.scene_eval_stacked(pos, loc, rot, half, valid, mats, 0.5, statics)
+    def loss_ref(loc, half, w):
+        mats_w = ff.build_interleaved_layers(w)
+        u, wts, g = ff.scene_eval_stacked(pos, loc, rot, half, valid, mats_w, 0.5, statics)
         return jnp.sum(u) + jnp.sum(wts[:, :2]) + jnp.sum(jnp.square(g)), (u, wts, g)
 
     (lk, (uk, wk, gk)), gradk = jax.jit(
         jax.value_and_grad(loss_kernel, argnums=(0, 1, 2), has_aux=True)
-    )(loc, half, mats)
+    )(loc, half, w)
     (lr, (ur, wr, gr)), gradr = jax.jit(
         jax.value_and_grad(loss_ref, argnums=(0, 1, 2), has_aux=True)
-    )(loc, half, mats)
+    )(loc, half, w)
 
     def err(a, b):
         # relative to the reference's own scale: cotangents accumulate
@@ -106,7 +116,7 @@ def verify_kernels():
         "spatial_grad": err(gk, gr),
         "d_locations": err(gradk[0], gradr[0]),
         "d_half_dims": err(gradk[1], gradr[1]),
-        "d_mats": max(err(a, b) for a, b in zip(gradk[2], gradr[2])),
+        "d_weights": err(gradk[2], gradr[2]),
     }
 
     # directional coarse kernel (forward-only, K=1 tangent): must agree
@@ -123,6 +133,19 @@ def verify_kernels():
     errors["dir_sdf"] = err(ud_k[0], ur)
     errors["dir_weights"] = err(ud_k[1], wr)
     errors["dir_u_dot"] = err(ud_k[2], jnp.sum(gr * dirs, axis=-1))
+
+    # reverse-sweep spatial gradient (the shipped fine-forward default,
+    # statics.rev_grad): same math as the 3-tangent path, reverse-mode
+    # rounding; checked compiled on this backend at HIGHEST precision
+    rev_statics = statics._replace(rev_grad=True)
+    u_rev, w_rev, g_rev = jax.jit(
+        lambda loc, half, mats: pf.fused_field_with_grad(
+            rev_statics, (1024, 512), pos, loc, rot, half, valid, mats, 0.5
+        )
+    )(loc, half, mats)
+    errors["rev_sdf"] = err(u_rev, ur)
+    errors["rev_weights"] = err(w_rev, wr)
+    errors["rev_spatial_grad"] = err(g_rev, gr)
     return errors
 
 

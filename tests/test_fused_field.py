@@ -349,6 +349,51 @@ def test_stacked_multi_group_matches_ground_truth(n):
     np.testing.assert_allclose(np.asarray(wts), np.asarray(w_gt), atol=2e-5)
 
 
+@pytest.mark.parametrize("n", [4, 16])
+def test_stacked_rev_grad_matches_tangent(n):
+    """The reverse-sweep spatial gradient (statics.rev_grad) must equal
+    the 3-tangent forward path: identical primal math, only the AD
+    direction of the gradient changes (rounding-level differences)."""
+    rng = np.random.default_rng(2)
+    pos = jnp.asarray(rng.normal(size=(96, 3)).astype(np.float32) * 5)
+    loc = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32) * 3)
+    angles = rng.uniform(-1, 1, n)
+    rot = jnp.asarray(
+        np.stack(
+            [
+                np.array(
+                    [[np.cos(a), 0, np.sin(a)], [0, 1, 0],
+                     [-np.sin(a), 0, np.cos(a)]],
+                    np.float32,
+                )
+                for a in angles
+            ]
+        )
+    )
+    half = jnp.asarray(rng.uniform(0.5, 2.0, size=(n, 3)).astype(np.float32))
+    valid = jnp.asarray((np.arange(n) < n - 1).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(n, 1617)).astype(np.float32) * 0.3)
+    mats = ff.build_interleaved_layers(w)
+    base = ff.FieldStatics(num_instances=n, field_dtype=None)
+    rev = base._replace(rev_grad=True)
+
+    u0, w0, g0 = ff.scene_eval_stacked(pos, loc, rot, half, valid, mats, 0.5, base)
+    u1, w1, g1 = ff.scene_eval_stacked(pos, loc, rot, half, valid, mats, 0.5, rev)
+    np.testing.assert_allclose(np.asarray(u1), np.asarray(u0), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(w1), np.asarray(w0), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0), atol=1e-4)
+
+    # box-only phase (warmup: empty mats, use_rdf=False)
+    ub0, wb0, gb0 = ff.scene_eval_stacked(
+        pos, loc, rot, half, valid, (), 0.5, base._replace(use_rdf=False)
+    )
+    ub1, wb1, gb1 = ff.scene_eval_stacked(
+        pos, loc, rot, half, valid, (), 0.5, rev._replace(use_rdf=False)
+    )
+    np.testing.assert_allclose(np.asarray(ub1), np.asarray(ub0), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gb1), np.asarray(gb0), atol=1e-5)
+
+
 @pytest.mark.slow
 @pytest.mark.parametrize("box_coarse", [False, True])
 def test_pallas_loss_path_interpret_smoke(box_coarse, monkeypatch):

@@ -104,6 +104,15 @@ class OptimizationConfig:
     # .json, tools/parity/PARITY.md) and it saves 0.9 ms/step at 8
     # instances (8.33 -> 7.46) and 3.3 ms at 32 (34.4 -> 31.0).
     pallas_box_coarse: bool = True
+    # Fine-forward spatial gradient via ONE reverse sweep w.r.t. the
+    # query position instead of 3 forward basis tangents (grad_x u =
+    # sum_i w_i (1 + (u - d_i)/tau) grad_x d_i; per group: primal
+    # forward + position-only transpose). Exact same math — only the
+    # AD direction changes — but drops the per-layer LN-JVP triple
+    # chains and the 4T-wide stacked matmuls. Auto-disabled in
+    # strict-parity mode so 'highest' keeps the historical
+    # forward-tangent rounding bit-for-bit.
+    pallas_rev_grad: bool = True
     # Per-tile instance-group skipping for scenes with > 8 instances:
     # instances are azimuth-sorted into spatially coherent groups of 8,
     # rays azimuth-sorted so kernel tiles are direction-coherent, and
@@ -392,6 +401,10 @@ def compute_loss(
             field_dtype=None,
             matmul_precision=cfg.pallas_matmul_precision,
             group_skip=group_skip,
+            rev_grad=(
+                cfg.pallas_rev_grad
+                and cfg.pallas_matmul_precision != "highest"
+            ),
         )
         pad = n8 - n
 

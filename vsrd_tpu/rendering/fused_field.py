@@ -97,6 +97,13 @@ class FieldStatics(NamedTuple):
     group_skip: bool = False
     group_skip_margin: float = 2.0
     group_skip_tau_scale: float = 12.0
+    # Spatial-gradient mode for the K=3 fine forward: False pushes 3
+    # forward-mode basis tangents through the field; True computes the
+    # same gradient with ONE reverse sweep w.r.t. the query position
+    # (primal + position-only transpose — no LN-JVP triple chains, no
+    # 4T-wide stacked matmuls). Exact same math, reverse-mode rounding;
+    # ~2x faster fine forward. See `_scene_eval_stacked_rev`.
+    rev_grad: bool = False
 
 
 # Distance reported for instances in skipped groups: far enough that
@@ -964,7 +971,14 @@ def scene_eval_stacked_t(pos_t, locations, rotations, half_dims, valid,
                          mats, temperature, statics: FieldStatics,
                          group_mask=None):
     """(u [1, T], weights [N, T], grads [3, T]): spatial gradient via the
-    3 coordinate basis tangents. See `_scene_eval_stacked_core`."""
+    3 coordinate basis tangents, or — when ``statics.rev_grad`` — via a
+    single reverse sweep. See `_scene_eval_stacked_core` /
+    `_scene_eval_stacked_rev`."""
+    if statics.rev_grad and group_mask is None:
+        return _scene_eval_stacked_rev(
+            pos_t, locations, rotations, half_dims, valid, mats,
+            temperature, statics,
+        )
     return _scene_eval_stacked_core(
         pos_t, None, locations, rotations, half_dims, valid, mats,
         temperature, statics, group_mask,
@@ -1353,6 +1367,247 @@ def _stage_a_bwd(distances, td, valid, temperature, du, dw):
     l_bar = w * (w_tot - jnp.sum(w * w_tot, axis=0, keepdims=True))
     d_bar = du * w + w * (m - td) * inv_t - l_bar * inv_t
     return d_bar, td_bar
+
+
+# ---------------------------------------------------------------------------
+# Reverse-mode spatial gradient for the fine forward.
+#
+# The K=3 forward-tangent evaluator pays 3 tangent chains (each with an
+# LN-JVP per layer) and 4T-wide stacked matmuls to produce grad_x u.
+# But u is SCALAR per point, so reverse-mode gets all 3 components in
+# ONE sweep: with w = softmax(-d/tau) and u = sum_i w_i d_i,
+#     grad_x u = sum_i c_i grad_x d_i,   c_i = w_i (1 + (u - d_i)/tau)
+# (the same stage-A cotangent as `_stage_a_bwd`'s td_bar). Each group
+# then runs a primal forward saving residuals plus a position-only
+# transpose: T-wide matmuls both ways, one LN transpose per layer, no
+# second-order terms, no parameter-cotangent matmuls.
+#
+# Math identical to the tangent path (reverse-mode rounding only);
+# equality is pinned by tests/test_fused_field.py. Reference semantics:
+# /root/reference/vsrd/rendering/renderers.py:214-236 (grad via
+# torch.autograd.grad of the union distance).
+# ---------------------------------------------------------------------------
+
+
+def _group_fwd_res_x(pos_t, locations, rotations, half_dims, mats_g,
+                     statics: FieldStatics, n: int):
+    """Primal-only group forward saving the residuals `_group_rev_x`
+    needs for the position transpose. Mirrors `_group_distances`'
+    primal exactly (same op order, so u/w match the tangent path)."""
+    t = pos_t.shape[1]
+    ones_nt = jnp.ones((n, t), pos_t.dtype)
+    rel = tuple(
+        jnp.tile(pos_t[i : i + 1], (n, 1)) - locations[:, i : i + 1]
+        for i in range(3)
+    )
+
+    def col(i, c):
+        return rotations[:, i, c][:, None]
+
+    local = tuple(
+        rel[0] * col(0, c) + rel[1] * col(1, c) + rel[2] * col(2, c)
+        for c in range(3)
+    )
+    sign_l = tuple(jnp.sign(l) for l in local)
+    q = tuple(
+        jnp.abs(local[c]) - half_dims[:, c : c + 1] for c in range(3)
+    )
+    relu_q = tuple(jax.nn.relu(qc) for qc in q)
+    outside = jnp.sqrt(
+        relu_q[0] ** 2 + relu_q[1] ** 2 + relu_q[2] ** 2 + 1e-6
+    )
+    m1 = jnp.maximum(q[0], q[1])
+    q_max = jnp.maximum(m1, q[2])
+    distances = outside - jax.nn.relu(-q_max)                   # [n, T]
+
+    res = {"sign_l": sign_l, "q": q, "rq": relu_q, "outside": outside,
+           "m1": m1, "qmax": q_max, "ln": []}
+
+    if statics.use_rdf:
+        inv_scale = 1.0 / statics.position_scale
+        sym = (jnp.abs(local[0]) * inv_scale,
+               local[1] * inv_scale,
+               local[2] * inv_scale)
+        trig = _encoding_trig(
+            sym, statics.num_frequencies,
+            fast=statics.matmul_precision != "highest",
+        )
+        res["trig"] = trig
+        x = jnp.concatenate(
+            [v for pair in trig for v in pair], axis=0
+        )                                                       # [48n, T]
+        widths = [*statics.out_channels_list, 1]
+        precision = (
+            jax.lax.Precision.HIGHEST
+            if statics.matmul_precision == "highest"
+            else jax.lax.Precision.DEFAULT
+        )
+        for index, mat in enumerate(mats_g):
+            if index:
+                c_in = widths[index - 1]
+                slabs = [x[c * n : (c + 1) * n] for c in range(c_in)]
+                mean = sum(slabs) / c_in
+                centered = x - jnp.tile(mean, (c_in, 1))
+                c_slabs = [
+                    centered[c * n : (c + 1) * n] for c in range(c_in)
+                ]
+                var = sum(cs * cs for cs in c_slabs) / c_in
+                inv_std = jax.lax.rsqrt(var + 1e-5)
+                inv_std_t = jnp.tile(inv_std, (c_in, 1))
+                y = centered * inv_std_t
+                cdf, pdf = _gelu_cdf_pdf(y)
+                res["ln"].append(
+                    {"y": y, "istd": inv_std, "dgelu": cdf + y * pdf,
+                     "c_in": c_in}
+                )
+                x = y * cdf
+            x_h = jnp.concatenate([x, ones_nt], axis=0)
+            x = jax.lax.dot_general(
+                mat, x_h,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                precision=precision,
+                preferred_element_type=jnp.float32,
+            )                                                   # [C_out n, T]
+        sig = jax.nn.sigmoid(x - 1.0)
+        res["sig"] = sig
+        distances = distances + sig
+
+    return distances, res
+
+
+def _group_rev_x(res, mats_g, rotations, d_bar, statics: FieldStatics,
+                 n: int):
+    """Position transpose for one group: cotangent ``d_bar [n, T]`` on
+    the group's distances -> contribution to grad_x u, a list of 3
+    ``[1, T]`` rows (world axes). Parameters are constants here — no
+    dmats / dloc / drot / dhalf work."""
+    sign_l = res["sign_l"]
+    q = res["q"]
+    rq = res["rq"]
+    outside = res["outside"]
+    pick01 = q[0] > q[1]
+    pick2 = res["qmax"] > res["m1"]
+    ig = (res["qmax"] < 0.0).astype(d_bar.dtype)
+    not2 = jnp.logical_not(pick2)
+    sel = (
+        jnp.logical_and(not2, pick01).astype(d_bar.dtype),
+        jnp.logical_and(not2, jnp.logical_not(pick01)).astype(d_bar.dtype),
+        pick2.astype(d_bar.dtype),
+    )
+
+    local_bar = [0.0, 0.0, 0.0]
+    if statics.use_rdf:
+        sig = res["sig"]
+        xo = d_bar * (sig * (1.0 - sig))                        # [n, T]
+        precision = (
+            jax.lax.Precision.HIGHEST
+            if statics.matmul_precision == "highest"
+            else jax.lax.Precision.DEFAULT
+        )
+        x_enc_bar = None
+        for index in reversed(range(len(mats_g))):
+            xbar_full = jax.lax.dot_general(
+                mats_g[index], xo,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                precision=precision,
+                preferred_element_type=jnp.float32,
+            )                                                   # [(C+1)n, T]
+            gbar = xbar_full[: xbar_full.shape[0] - n]          # drop bias
+            if index:
+                ln = res["ln"][index - 1]
+                y, c_in = ln["y"], ln["c_in"]
+                ybar = gbar * ln["dgelu"]
+
+                def ssum(z, c_in=c_in):
+                    return sum(z[c * n : (c + 1) * n] for c in range(c_in))
+
+                istd_t = jnp.tile(ln["istd"], (c_in, 1))
+                m_y = ssum(ybar) / c_in
+                m_yy = ssum(ybar * y) / c_in
+                xo = istd_t * (
+                    ybar
+                    - jnp.tile(m_y, (c_in, 1))
+                    - y * jnp.tile(m_yy, (c_in, 1))
+                )
+            else:
+                x_enc_bar = gbar
+        # encoding reverse
+        trig = res["trig"]
+        inv_scale = 1.0 / statics.position_scale
+        sym_bar = [0.0, 0.0, 0.0]
+        idx = 0
+        for k in range(statics.num_frequencies):
+            f = math.pi * (2.0**k)
+            for d in range(3):
+                c_, s_ = trig[idx]
+                r0 = (2 * idx) * n
+                cbar = x_enc_bar[r0 : r0 + n]
+                sbar = x_enc_bar[r0 + n : r0 + 2 * n]
+                sym_bar[d] = sym_bar[d] + f * (sbar * c_ - cbar * s_)
+                idx += 1
+        local_bar[0] = sym_bar[0] * sign_l[0] * inv_scale
+        local_bar[1] = sym_bar[1] * inv_scale
+        local_bar[2] = sym_bar[2] * inv_scale
+
+    # box part
+    inv_out = 1.0 / outside
+    for c in range(3):
+        qb = d_bar * (rq[c] * inv_out) + d_bar * ig * sel[c]
+        local_bar[c] = local_bar[c] + qb * sign_l[c]
+
+    def col(i, c):
+        return rotations[:, i, c][:, None]
+
+    return [
+        jnp.sum(
+            local_bar[0] * col(i, 0)
+            + local_bar[1] * col(i, 1)
+            + local_bar[2] * col(i, 2),
+            axis=0, keepdims=True,
+        )
+        for i in range(3)
+    ]
+
+
+def _scene_eval_stacked_rev(pos_t, locations, rotations, half_dims, valid,
+                            mats, temperature, statics: FieldStatics):
+    """(u [1, T], weights [N, T], grads [3, T]) with the gradient from
+    one reverse sweep per group instead of 3 forward tangents. Primal
+    math matches `_scene_eval_stacked_core` op-for-op; the gradient is
+    the exact stage-A-weighted sum of per-group position transposes."""
+    n = statics.num_instances
+    g_size = group_size_of(n)
+    num_groups = n // g_size
+
+    dist_parts, residuals = [], []
+    for g in range(num_groups):
+        sl = slice(g * g_size, (g + 1) * g_size)
+        d_g, res_g = _group_fwd_res_x(
+            pos_t, locations[sl], rotations[sl], half_dims[sl],
+            tuple(m[g] for m in mats), statics, g_size,
+        )
+        dist_parts.append(d_g)
+        residuals.append(res_g)
+    distances = (
+        jnp.concatenate(dist_parts, axis=0) if num_groups > 1
+        else dist_parts[0]
+    )                                                           # [N, T]
+
+    logits = -distances / temperature + (valid - 1.0) * 1e30
+    weights = jax.nn.softmax(logits, axis=0)
+    union = jnp.sum(distances * weights, axis=0, keepdims=True)  # [1, T]
+    # du/dd_i with u = sum w d, w = softmax(-d/tau) (== stage-A td_bar)
+    c_bar = weights * (1.0 + (union - distances) / temperature)  # [N, T]
+
+    grads = None
+    for g in range(num_groups):
+        sl = slice(g * g_size, (g + 1) * g_size)
+        pb = _group_rev_x(
+            residuals[g], tuple(m[g] for m in mats), rotations[sl],
+            c_bar[sl], statics, g_size,
+        )
+        grads = pb if grads is None else [a + b for a, b in zip(grads, pb)]
+    return union, weights, jnp.concatenate(grads, axis=0)        # [3, T]
 
 
 def scene_eval_stacked_dir_bwd_t(pos_t, dg_t, locations, rotations, half_dims,
