@@ -276,19 +276,27 @@ def test_manual_dir_bwd_multi_group():
 @pytest.mark.parametrize("manual", [True, False])
 def test_pallas_kernel_interpret_backward(setup, manual):
     n, pos, loc, rot, half, valid, w = setup
-    mats = ff.build_interleaved_layers(w)
     statics = ff.FieldStatics(num_instances=n, field_dtype=None)
 
-    def loss_kernel(loc, half, mats):
+    # Parameter cotangents are compared as the pullback to the packed
+    # hypernet weights through `build_interleaved_layers`, not as raw
+    # d_mats: the interleaved group matrices have structurally-zero
+    # off-block entries whose cotangents are gauge — the kernel's
+    # local-basis tangent seeding and the world-basis XLA reference put
+    # different (equally correct) values there, while the pullback —
+    # the only thing training ever consumes — is basis-independent.
+    # Same contract as bench.py --verify.
+    def loss_kernel(loc, half, w_):
+        mats_w = ff.build_interleaved_layers(w_)
         u, wts, g = pf.fused_field_with_grad(
-            statics, 32, pos, loc, rot, half, valid, mats, 0.5
+            statics, 32, pos, loc, rot, half, valid, mats_w, 0.5
         )
         return jnp.sum(u) + jnp.sum(wts[:, :2]) + jnp.sum(jnp.square(g))
 
-    def loss_ref(loc, half, mats_flat):
-        layers = ff.split_field_layers(w)
+    def loss_ref(loc, half, w_):
+        mats_w = ff.build_interleaved_layers(w_)
         u, wts, g = ff.scene_eval_stacked(
-            pos, loc, rot, half, valid, mats_flat, 0.5, statics
+            pos, loc, rot, half, valid, mats_w, 0.5, statics
         )
         return jnp.sum(u) + jnp.sum(wts[:, :2]) + jnp.sum(jnp.square(g))
 
@@ -297,16 +305,15 @@ def test_pallas_kernel_interpret_backward(setup, manual):
     pf.INTERPRET = True
     pf.MANUAL_BACKWARD = manual
     try:
-        gk = jax.grad(loss_kernel, argnums=(0, 1, 2))(loc, half, mats)
+        gk = jax.grad(loss_kernel, argnums=(0, 1, 2))(loc, half, w)
     finally:
         pf.INTERPRET = old
         pf.MANUAL_BACKWARD = old_manual
-    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(loc, half, mats)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(loc, half, w)
 
     np.testing.assert_allclose(np.asarray(gk[0]), np.asarray(gr[0]), rtol=1e-3, atol=1e-3)
     np.testing.assert_allclose(np.asarray(gk[1]), np.asarray(gr[1]), rtol=1e-3, atol=1e-3)
-    for a, b in zip(gk[2], gr[2]):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(gk[2]), np.asarray(gr[2]), rtol=1e-3, atol=1e-3)
 
 
 @pytest.mark.parametrize("n", [16, 24])
