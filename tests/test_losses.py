@@ -217,3 +217,62 @@ class TestNormFusion:
         back = mu.group_norm_to_batch_norm_params(gn)
         np.testing.assert_array_equal(np.asarray(back["mean"]), np.zeros(8))
         np.testing.assert_array_equal(np.asarray(back["var"]), np.ones(8))
+
+
+class TestPhotometricReferenceParity:
+    """Value parity vs the live reference implementation
+    (/root/reference/vsrd/losses/photometric_losses.py:8-36), imported
+    read-only via the parity harness's refload."""
+
+    @pytest.fixture(scope="class")
+    def ref_photo(self):
+        import os
+        import sys
+
+        if not os.path.isdir("/root/reference"):
+            pytest.skip("reference repo not mounted")
+        sys.path.insert(
+            0,
+            os.path.join(
+                os.path.dirname(__file__), "..", "tools", "parity"
+            ),
+        )
+        import refload
+
+        return refload.load_reference().photometric_losses
+
+    @pytest.fixture(scope="class")
+    def images(self):
+        rng = np.random.default_rng(7)
+        a = rng.uniform(0.0, 1.0, (2, 3, 24, 32)).astype(np.float32)
+        b = np.clip(
+            a + rng.normal(scale=0.15, size=a.shape).astype(np.float32),
+            0.0,
+            1.0,
+        )
+        return a, b
+
+    @pytest.mark.parametrize("reduction", ["none", "mean", "sum"])
+    def test_ssim_matches_reference(self, ref_photo, images, reduction):
+        torch = pytest.importorskip("torch")
+        a, b = images
+        ref = ref_photo.ssim_loss(
+            torch.from_numpy(a), torch.from_numpy(b), reduction=reduction
+        ).numpy()
+        ours = losses.ssim_loss(
+            jnp.asarray(a), jnp.asarray(b), reduction=reduction
+        )
+        np.testing.assert_allclose(
+            np.asarray(ours), ref, rtol=1e-5, atol=1e-6
+        )
+
+    def test_photometric_matches_reference(self, ref_photo, images):
+        torch = pytest.importorskip("torch")
+        a, b = images
+        ref = ref_photo.photometric_loss(
+            torch.from_numpy(a), torch.from_numpy(b)
+        ).numpy()
+        ours = losses.photometric_loss(jnp.asarray(a), jnp.asarray(b))
+        np.testing.assert_allclose(
+            float(ours), float(ref), rtol=1e-5, atol=1e-6
+        )

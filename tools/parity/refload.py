@@ -30,6 +30,8 @@ _LEAVES = {
     "sinusoidal_encoder": "vsrd/models/encoders/sinusoidal_encoder.py",
     "geometric_operations": "vsrd/operations/geometric_operations.py",
     "kitti360_operations": "vsrd/operations/kitti360_operations.py",
+    "losses_utils": "vsrd/losses/utils.py",
+    "photometric_losses": "vsrd/losses/photometric_losses.py",
 }
 
 _MODULE_NAMES = {
@@ -43,6 +45,8 @@ _MODULE_NAMES = {
     "sinusoidal_encoder": "refvsrd.models.encoders.sinusoidal_encoder",
     "geometric_operations": "refvsrd.operations.geometric_operations",
     "kitti360_operations": "refvsrd.operations.kitti360_operations",
+    "losses_utils": "refvsrd.losses.utils",
+    "photometric_losses": "refvsrd.losses.photometric_losses",
 }
 
 _PACKAGES = [
@@ -53,6 +57,7 @@ _PACKAGES = [
     "refvsrd.models.fields",
     "refvsrd.models.encoders",
     "refvsrd.operations",
+    "refvsrd.losses",
 ]
 
 
