@@ -31,6 +31,9 @@ def main():
     parser.add_argument("--fwd-tile", type=int, default=1024)
     parser.add_argument("--bwd-tile", type=int, default=512)
     parser.add_argument("--no-rdf", action="store_true")
+    parser.add_argument("--k3", action="store_true",
+                        help="use the K=3 basis-tangent fine forward "
+                             "instead of the shipped reverse-sweep path")
     args = parser.parse_args()
 
     from vsrd_tpu.models import hyper_field
@@ -46,7 +49,7 @@ def main():
     use_rdf = not args.no_rdf
     statics = ff.FieldStatics(
         num_instances=n, use_rdf=use_rdf, field_dtype=None,
-        matmul_precision="default",
+        matmul_precision="default", rev_grad=not args.k3,
     )
     w = jnp.asarray(rng.normal(size=(n, 1617)).astype(np.float32) * 0.3)
     mats = ff.build_interleaved_layers(w) if use_rdf else ()
@@ -71,8 +74,9 @@ def main():
 
     f_ms = timeit(fwd, loc, half, mats)
     fb_ms = timeit(fwdbwd, loc, half, mats)
+    variant = "k3" if args.k3 else "rev"
     print(
-        f"P={args.points} N={n} rdf={use_rdf} tiles={tile}: "
+        f"P={args.points} N={n} rdf={use_rdf} tiles={tile} fwd={variant}: "
         f"fwd {f_ms:.2f} ms  fwd+bwd {fb_ms:.2f} ms  bwd {fb_ms - f_ms:.2f} ms"
     )
 

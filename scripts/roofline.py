@@ -1,7 +1,9 @@
-"""Roofline analysis of the fused field kernel (fine pass, K=3).
+"""Roofline analysis of the fused field kernel (fine forward pass).
 
 Counts the kernel-body work EXACTLY by walking the jaxpr of the same
-per-tile math the Pallas kernel executes (`_scene_eval_stacked_core`),
+per-tile math the Pallas kernel executes (`scene_eval_stacked_t`: the
+shipped reverse-sweep spatial gradient by default, or the K=3
+basis-tangent variant with --k3),
 classifying each primitive as MXU (dot_general dense FLOPs),
 transcendental VPU (exp/sin/cos/rsqrt/...), or plain VPU element ops;
 then compares the measured kernel time against the per-unit bounds to
@@ -100,6 +102,9 @@ def main():
     parser.add_argument("--instances", type=int, default=8)
     parser.add_argument("--tile", type=int, default=1024)
     parser.add_argument("--reps", type=int, default=20)
+    parser.add_argument("--k3", action="store_true",
+                        help="analyze the K=3 basis-tangent fine forward "
+                             "instead of the shipped reverse-sweep path")
     args = parser.parse_args()
 
     from vsrd_tpu.rendering import fused_field as ff, pallas_field as pf
@@ -108,7 +113,7 @@ def main():
     rng = np.random.default_rng(0)
     statics = ff.FieldStatics(
         num_instances=n, use_rdf=True, field_dtype=None,
-        matmul_precision="default",
+        matmul_precision="default", rev_grad=not args.k3,
     )
     w = jnp.asarray(rng.normal(size=(n, 1617)).astype(np.float32) * 0.3)
     mats = ff.build_interleaved_layers(w)
@@ -121,8 +126,8 @@ def main():
     t = args.tile
     pos_t = jnp.zeros((3, t), jnp.float32)
     jaxpr = jax.make_jaxpr(
-        lambda p, l, r, h, m: ff._scene_eval_stacked_core(
-            p, None, l, r, h, valid, m, 0.5, statics
+        lambda p, l, r, h, m: ff.scene_eval_stacked_t(
+            p, l, r, h, valid, m, 0.5, statics
         )
     )(pos_t, loc, rot, half, mats)
     per_tile = count_ops(jaxpr)
@@ -167,7 +172,7 @@ def main():
     report = {
         "workload": {
             "points": args.points, "instances": n, "tile": t,
-            "k_tangents": 3,
+            "spatial_grad": "k3-tangents" if args.k3 else "reverse-sweep",
         },
         "counts": {
             "mxu_dense_flops": mxu_flops,
@@ -199,7 +204,8 @@ def main():
     if os.path.exists(kb_path):
         with open(kb_path) as f:
             data = json.load(f)
-    data.setdefault("roofline", {})[f"N{n}"] = report
+    key = f"N{n}_k3" if args.k3 else f"N{n}"
+    data.setdefault("roofline", {})[key] = report
     with open(kb_path, "w") as f:
         json.dump(data, f, indent=2)
     print(f"merged into {kb_path}")
