@@ -131,6 +131,7 @@ def main():
         )
     )(pos_t, loc, rot, half, mats)
     per_tile = count_ops(jaxpr)
+    print(f"per-tile op counts: {per_tile}", flush=True)
     tiles = (args.points + t - 1) // t
     mxu_flops = per_tile["mxu_flops"] * tiles
     velems = per_tile["velems"] * tiles
@@ -149,8 +150,10 @@ def main():
             valid.reshape(-1), mats, 0.5,
         )
 
+    print("compiling + first run...", flush=True)
     out = fwd(loc, half, mats)
     jax.block_until_ready(out)
+    print("first run done; timing...", flush=True)
     t0 = time.perf_counter()
     for _ in range(args.reps):
         out = fwd(loc, half, mats)
